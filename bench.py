@@ -1,0 +1,120 @@
+"""Benchmark: rays/s/chip, forward + backward, at 1080p (BASELINE.json).
+
+Workload: ~10k-triangle scene (two icospheres + ground + area light),
+1920x1080 camera, one light source — BASELINE config 3 geometry with the
+full differentiable pipeline (forward render + backward to all scene
+parameters), the reference-lacking capability that defines this framework.
+
+vs_baseline compares against the measured wall-clock of the reference C++
+renderer on this host if `reference_baseline.json` exists (the reference
+publishes no numbers — BASELINE.md); its number is forward-only rays/s,
+so the ratio understates the speedup (we also run the backward).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from esctp1raytracer_tpu import Camera, RenderConfig  # noqa: E402
+from esctp1raytracer_tpu.core.render import trace_rays  # noqa: E402
+from esctp1raytracer_tpu.parallel.sharding import float_params, merge_params  # noqa: E402
+from esctp1raytracer_tpu.scene.builders import (  # noqa: E402
+    _area_light,
+    _ground_plane,
+    icosphere_mesh,
+    scene_from_mesh,
+)
+
+WIDTH, HEIGHT = 1920, 1080
+DEPTH = 1  # primary + shadow rays, matching the reference pipeline shape
+
+
+def build_scene():
+    meshes = [
+        icosphere_mesh(subdivisions=4, radius=1.0, center=(-1.3, 1.0, 0.0)),
+        icosphere_mesh(subdivisions=4, radius=1.0, center=(1.3, 1.0, 0.0),
+                       smooth=False),
+        _ground_plane(),
+        _area_light(center=(0.0, 6.0, 2.0), half=1.5),
+    ]
+    return scene_from_mesh(meshes)  # 2*5120 + 2 + 2 = 10244 tris -> padded
+
+
+def main():
+    t_setup = time.time()
+    scene = build_scene()
+    cam = Camera.look_at((0.0, 2.0, 6.0), (0.0, 1.0, 0.0), vfov=60.0,
+                         aspect=WIDTH / HEIGHT)
+    cfg = RenderConfig(backend="mxu", ray_chunk=131072, block_size=512,
+                       depth=DEPTH)
+    o, d = cam.ray_grid(WIDTH, HEIGHT)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+    num_rays = o.shape[0]
+    params = float_params(scene)
+
+    def loss_fn(ps):
+        sc = merge_params(scene, ps)
+        color = trace_rays(o, d, sc, ids, cfg)
+        return jnp.sum(color * color)
+
+    fwd_bwd = jax.jit(jax.grad(loss_fn))
+    fwd_only = jax.jit(lambda ps: jnp.sum(
+        trace_rays(o, d, merge_params(scene, ps), ids, cfg) ** 2))
+
+    # Warmup (compile)
+    g = fwd_bwd(params)
+    jax.block_until_ready(g)
+    x = fwd_only(params)
+    jax.block_until_ready(x)
+    print(f"setup+compile: {time.time()-t_setup:.1f}s", file=sys.stderr)
+
+    def time_it(fn, iters=3):
+        fn(params)  # one more warm call
+        t0 = time.time()
+        outs = [fn(params) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        return (time.time() - t0) / iters
+
+    dt_fb = time_it(fwd_bwd)
+    dt_f = time_it(fwd_only)
+    rays_fb = num_rays / dt_fb
+    rays_f = num_rays / dt_f
+    print(f"forward only : {dt_f*1e3:8.1f} ms  {rays_f/1e6:8.2f} Mrays/s", file=sys.stderr)
+    print(f"forward+bwd  : {dt_fb*1e3:8.1f} ms  {rays_fb/1e6:8.2f} Mrays/s", file=sys.stderr)
+
+    vs_baseline = None
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "reference_baseline.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as fh:
+            ref = json.load(fh)
+        ref_rays = ref.get("rays_per_s_forward")
+        if ref_rays:
+            vs_baseline = rays_fb / ref_rays
+
+    print(json.dumps({
+        "metric": "rays_per_s_chip_fwd_bwd_1080p",
+        "value": round(rays_fb, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -198,9 +198,12 @@ def hits_from_features(
     rf: [R, 16] ray features; tf: [B, 16, 4] triangle features.
     Returns (t, u, v, ok) each [R, B]; t = BIG on miss.
     """
-    # One contraction [R,16] @ [16, B*4] so the MXU sees a single wide matmul.
+    # One contraction [R,16] @ [16, B*4] so the MXU sees a single wide
+    # matmul. Precision HIGHEST: the default TPU matmul truncates inputs
+    # to bf16 passes, far too coarse for the eps-window acceptance tests.
     tf_mat = jnp.swapaxes(tf, 0, 1).reshape(NUM_FEATURES, -1)  # [16, B*4]
-    s = jnp.dot(rf, tf_mat, preferred_element_type=jnp.float32)  # [R, B*4]
+    s = jnp.dot(rf, tf_mat, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [R, B*4]
     s = s.reshape(rf.shape[0], tf.shape[0], 4)
     det, t_num, u_num, v_num = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
     ok_det = jnp.abs(det) >= eps
@@ -245,7 +248,8 @@ def _scan_blocks(o, d, tris: TriangleBuffer, eps, block_size: int, use_mxu: bool
     """
     n = tris.capacity
     block_size = min(block_size, n)
-    assert n % block_size == 0, (n, block_size)
+    while n % block_size:  # capacity is padded; fall back to a divisor
+        block_size //= 2
     num_blocks = n // block_size
 
     v0 = tris.v0.reshape(num_blocks, block_size, 3)

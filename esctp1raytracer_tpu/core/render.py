@@ -57,6 +57,10 @@ class RenderConfig:
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
     backend: str = "jnp"  # "jnp" | "mxu" | "pallas"
     seed: int = 0
+    # "area" = corrected ISPC-style area-light sampling;
+    # "reference_cpp" = bit-faithful reproduction of the C++ path's
+    # degenerate corner sampling (quirk 2) for golden-image parity.
+    light_mode: str = "area"
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -81,6 +85,7 @@ def trace_rays(
     scene: Scene,
     ray_ids: jax.Array,
     cfg: RenderConfig,
+    tri_search=None,
 ) -> jax.Array:
     """Trace one wavefront of rays [R, 3] to colors [R, 3].
 
@@ -89,8 +94,39 @@ def trace_rays(
     reflects about the shading normal, contributions accumulate — the
     "iterative fixed-depth bounce loop" from BASELINE.json that replaces
     scalar recursion.
+
+    When cfg.ray_chunk > 0 and R exceeds it, rays stream through
+    `lax.map` in ray_chunk-sized wavefronts, bounding the [chunk, block]
+    intermediates in HBM; the counter-based RNG makes the result
+    independent of the chunking.
     """
-    tri_search, use_mxu = _search_fns(cfg)
+    r = o.shape[0]
+    if cfg.ray_chunk and cfg.ray_chunk < r:
+        chunk = cfg.ray_chunk
+        pad = (-r) % chunk
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate(
+                [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+            )
+            ray_ids = jnp.concatenate(
+                [ray_ids, jnp.zeros((pad,), ray_ids.dtype)]
+            )
+        inner = cfg.replace(ray_chunk=0)
+
+        def one_chunk(args):
+            oc, dc, ids = args
+            return trace_rays(oc, dc, scene, ids, inner, tri_search)
+
+        color = jax.lax.map(
+            one_chunk,
+            (o.reshape(-1, chunk, 3), d.reshape(-1, chunk, 3),
+             ray_ids.reshape(-1, chunk)),
+        )
+        return color.reshape(-1, 3)[:r]
+    backend_search, use_mxu = _search_fns(cfg)
+    if tri_search is None:
+        tri_search = backend_search
     eps = jnp.float32(cfg.eps)
 
     def occl(oo, dd, t_limit):
@@ -111,7 +147,7 @@ def trace_rays(
         )
         local, hit_p, normal, ks = shade(
             o, d, hit, scene, cfg.seed, ray_ids, occl,
-            shadow_eps=cfg.shadow_eps, bounce=bounce,
+            shadow_eps=cfg.shadow_eps, bounce=bounce, light_mode=cfg.light_mode,
         )
         color = color + throughput * jnp.where(active[:, None], local, 0.0)
         if bounce + 1 < cfg.depth:
@@ -144,35 +180,8 @@ def render(
     o, d = camera.ray_grid(width, height)
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
-
-    r = o.shape[0]
-    ray_ids = jnp.arange(r, dtype=jnp.uint32)
-    if cfg.ray_chunk and cfg.ray_chunk < r:
-        chunk = cfg.ray_chunk
-        pad = (-r) % chunk
-        if pad:
-            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
-            d = jnp.concatenate(
-                [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))],
-                axis=0,
-            )
-            ray_ids = jnp.concatenate(
-                [ray_ids, jnp.arange(r, r + pad, dtype=jnp.uint32)], axis=0
-            )
-        num_chunks = (r + pad) // chunk
-        o = o.reshape(num_chunks, chunk, 3)
-        d = d.reshape(num_chunks, chunk, 3)
-        ray_ids = ray_ids.reshape(num_chunks, chunk)
-
-        def one_chunk(args):
-            oc, dc, ids = args
-            return trace_rays(oc, dc, scene, ids, cfg)
-
-        color = jax.lax.map(one_chunk, (o, d, ray_ids))
-        color = color.reshape(-1, 3)[:r]
-    else:
-        color = trace_rays(o, d, scene, ray_ids, cfg)
-
+    ray_ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+    color = trace_rays(o, d, scene, ray_ids, cfg)
     return color.reshape(height, width, 3)
 
 

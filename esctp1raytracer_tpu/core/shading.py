@@ -112,14 +112,25 @@ def surface_attributes(
 
 
 def sample_lights(
-    scene: Scene, seed: int, ray_ids: jax.Array, bounce: int = 0
+    scene: Scene, seed: int, ray_ids: jax.Array, bounce: int = 0,
+    mode: str = "area",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sample one point per (ray, light source).
 
     Returns (P [R, L, 3], light_tri [R, L] int32, num_lights L).
-    Mirrors the reference's per-pixel face pick + parallelogram point
-    (src/ispc/trace.ispc:178-201). Draws are counter-based on the global
-    ray id (utils/rng.py), so sampling is invariant to chunking/sharding.
+
+    mode="area" mirrors the corrected ISPC sampling: random face of the
+    source, then the parallelogram point v0 + (v1-v0)r1 + (v2-v0)r2
+    (src/ispc/trace.ispc:178-201).
+
+    mode="reference_cpp" reproduces the C++ path's quirk 2 exactly
+    (src/main.cpp:748-754): `faceID` indexes the de-indexed *corner* array,
+    and v0=v1=v2 all alias that corner, so P degenerates to corner
+    `faceID` of the light's first face — needed for pixel-level parity
+    with the reference's golden output.ppm.
+
+    Draws are counter-based on the global ray id (utils/rng.py), so
+    sampling is invariant to chunking/sharding.
     """
     lights = scene.lights
     L = lights.num_lights
@@ -142,6 +153,17 @@ def sample_lights(
     tri = jnp.take_along_axis(lights.tri_idx[None, :, :], face[:, :, None], axis=2)
     tri = tri[:, :, 0]
 
+    if mode == "reference_cpp":
+        # P = corner `faceID` of the first light face; r1/r2 are drawn but
+        # multiply zero vectors in the reference, so they are unused.
+        first = lights.tri_idx[:, 0]  # [L]
+        c0 = jnp.take(scene.triangles.v0, first, axis=0)[None]  # [1, L, 3]
+        c1 = jnp.take(scene.triangles.v1, first, axis=0)[None]
+        c2 = jnp.take(scene.triangles.v2, first, axis=0)[None]
+        f = face[:, :, None]
+        p = jnp.where(f == 0, c0, jnp.where(f == 1, c1, c2))
+        return p, tri, L
+
     v0 = jnp.take(scene.triangles.v0, tri, axis=0)  # [R, L, 3]
     v1 = jnp.take(scene.triangles.v1, tri, axis=0)
     v2 = jnp.take(scene.triangles.v2, tri, axis=0)
@@ -159,6 +181,7 @@ def shade(
     occlusion_fn: Callable[[jax.Array, jax.Array, jax.Array], jax.Array],
     shadow_eps: float = 1e-4,
     bounce: int = 0,
+    light_mode: str = "area",
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shade one wavefront of rays against all light sources.
 
@@ -169,7 +192,7 @@ def shade(
     r = o.shape[0]
     hit_p, normal, mat = surface_attributes(o, d, hit, scene, shadow_eps)
 
-    p_light, _, num_l = sample_lights(scene, seed, ray_ids, bounce)
+    p_light, _, num_l = sample_lights(scene, seed, ray_ids, bounce, light_mode)
     if num_l == 0:
         return jnp.zeros((r, 3), jnp.float32), hit_p, normal, mat["ks"]
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-DEFAULT_PAD_MULTIPLE = 256
+DEFAULT_PAD_MULTIPLE = 512
 
 
 def _register(cls, meta_fields=()):
