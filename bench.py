@@ -84,20 +84,24 @@ def main():
     jax.block_until_ready(x)
     print(f"setup+compile: {time.time()-t_setup:.1f}s", file=sys.stderr)
 
-    def time_it(fn, iters=3):
-        fn(params)  # one more warm call
+    def time_it(fn, *args, iters=3):
+        fn(*args)  # one more warm call
         t0 = time.time()
-        outs = [fn(params) for _ in range(iters)]
+        outs = [fn(*args) for _ in range(iters)]
         jax.block_until_ready(outs)
         return (time.time() - t0) / iters
 
-    dt_fb = time_it(fwd_bwd)
-    dt_f = time_it(fwd_only)
+    dt_fb = time_it(fwd_bwd, params)
+    dt_f = time_it(fwd_only, params)
     rays_fb = num_rays / dt_fb
     rays_f = num_rays / dt_f
     print(f"forward only : {dt_f*1e3:8.1f} ms  {rays_f/1e6:8.2f} Mrays/s", file=sys.stderr)
     print(f"forward+bwd  : {dt_fb*1e3:8.1f} ms  {rays_fb/1e6:8.2f} Mrays/s", file=sys.stderr)
 
+    # vs_baseline: like-for-like with the measured reference C++ renderer
+    # on ITS canonical workload (Cornell 1024x768 forward, best strategy:
+    # --thread). reference_baseline.json is measured on this host; the
+    # reference publishes no numbers (BASELINE.md).
     vs_baseline = None
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "reference_baseline.json")
@@ -106,7 +110,25 @@ def main():
             ref = json.load(fh)
         ref_rays = ref.get("rays_per_s_forward")
         if ref_rays:
-            vs_baseline = rays_fb / ref_rays
+            from esctp1raytracer_tpu import cornell_box
+
+            cscene = cornell_box()
+            ccam = Camera.look_at((0.0, 1.0, 2.0), (0.0, 1.0, 0.0),
+                                  vfov=60.0, aspect=1024 / 768)
+            co, cd = ccam.ray_grid(1024, 768)
+            co, cd = co.reshape(-1, 3), cd.reshape(-1, 3)
+            cids = jnp.arange(co.shape[0], dtype=jnp.uint32)
+            ccfg = cfg
+            cf = jax.jit(lambda: jnp.sum(trace_rays(co, cd, cscene, cids, ccfg)))
+            cf().block_until_ready()
+            dt_c = time_it(cf)
+            cornell_rays = co.shape[0] / dt_c
+            vs_baseline = cornell_rays / ref_rays
+            print(
+                f"cornell fwd  : {dt_c*1e3:8.1f} ms  {cornell_rays/1e6:8.2f} "
+                f"Mrays/s  ({vs_baseline:.1f}x reference --thread)",
+                file=sys.stderr,
+            )
 
     print(json.dumps({
         "metric": "rays_per_s_chip_fwd_bwd_1080p",

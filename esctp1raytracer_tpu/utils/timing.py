@@ -27,8 +27,11 @@ class Timer:
     def __exit__(self, *exc) -> None:
         self.elapsed_ms = (time.perf_counter() - self._start) * 1e3
 
-    def report(self, file=sys.stderr) -> None:
+    def report(self, file=None) -> None:
         # Same shape as the reference's stderr block (src/main.cpp:645-654).
+        # file resolved at call time so redirected stderr is honored.
+        if file is None:
+            file = sys.stderr
         print("", file=file)
         for key, value in self.fields.items():
             print(f" {key:<10}: {value}", file=file)

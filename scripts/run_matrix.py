@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Strategy-matrix runner — the reference's scripts/run.sh, framework-side.
+
+Renders the canonical Cornell workload once per execution strategy
+{sequential(jnp), --thread(sharded), --bvh(mxu), --ispc(pallas)}, writes
+output<suffix>.ppm files, prints the per-strategy timing table, and
+cross-checks the images against each other (the reference's de-facto
+golden comparison, done automatically instead of by eye).
+
+Usage: python scripts/run_matrix.py [--out DIR] [--size WxH] [--scene ...]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box, render, write_ppm  # noqa: E402
+from esctp1raytracer_tpu.parallel import make_mesh, render_sharded  # noqa: E402
+
+STRATEGIES = [
+    ("sequential", "jnp", False),
+    ("thread", "mxu", True),   # sharded over the device mesh
+    ("bvh", "mxu", False),
+    ("ispc", "pallas", False),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="output/plain")
+    ap.add_argument("--size", default="1024x768")
+    ap.add_argument("--eye", default="0,1,2")
+    ap.add_argument("--look", default="0,1,0")
+    args = ap.parse_args()
+    width, height = (int(x) for x in args.size.split("x"))
+    eye = tuple(float(x) for x in args.eye.split(","))
+    look = tuple(float(x) for x in args.look.split(","))
+
+    os.makedirs(args.out, exist_ok=True)
+    scene = cornell_box()
+    cam = Camera.look_at(eye, look, vfov=60.0, aspect=width / height)
+    mesh = make_mesh()
+
+    images = {}
+    print(f"{'strategy':<12} {'backend':<8} {'first(ms)':>10} {'steady(ms)':>11} {'Mrays/s':>9}")
+    for suffix, backend, sharded in STRATEGIES:
+        cfg = RenderConfig(backend=backend, ray_chunk=262144)
+
+        def go():
+            if sharded:
+                return render_sharded(scene, cam, width, height, cfg, mesh)
+            return render(scene, cam, width, height, cfg)
+
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(go())
+        first = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        img = jax.block_until_ready(go())
+        steady = (time.perf_counter() - t0) * 1e3
+        mrays = width * height / (steady / 1e3) / 1e6
+        print(f"{suffix:<12} {backend:<8} {first:>10.1f} {steady:>11.1f} {mrays:>9.2f}")
+        arr = np.asarray(img)
+        images[suffix] = arr
+        write_ppm(os.path.join(args.out, f"output{suffix}.ppm"), arr)
+
+    # Cross-strategy golden comparison (same seed -> near-identical images;
+    # borderline eps-window pixels may flip between backends).
+    base = images["sequential"]
+    ok = True
+    for suffix, arr in images.items():
+        if suffix == "sequential":
+            continue
+        diff = np.abs(arr - base).max(-1)
+        flips = (diff > 1e-3).mean()
+        status = "OK" if flips < 0.005 else "MISMATCH"
+        ok &= flips < 0.005
+        print(f"  {suffix:<10} vs sequential: {flips*100:.3f}% pixels differ -> {status}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
