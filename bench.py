@@ -60,7 +60,8 @@ def main():
     scene = build_scene()
     cam = Camera.look_at((0.0, 2.0, 6.0), (0.0, 1.0, 0.0), vfov=60.0,
                          aspect=WIDTH / HEIGHT)
-    cfg = RenderConfig(backend="mxu", ray_chunk=131072, block_size=512,
+    backend = os.environ.get("ESCTP_BENCH_BACKEND", "auto")
+    cfg = RenderConfig(backend=backend, ray_chunk=262144, block_size=512,
                        depth=DEPTH)
     o, d = cam.ray_grid(WIDTH, HEIGHT)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)

@@ -19,7 +19,7 @@ for validation, and (c) the spatial-sort groundwork shared with clusters.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -29,8 +29,7 @@ BASELINE.json) and are differentiable w.r.t. center and radius.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -344,8 +343,12 @@ def closest_hit(
     winner — the correct local derivative away from visibility
     discontinuities, at O(R) backward cost.
     """
-    best_t, prim, is_sphere = jax.lax.stop_gradient(
-        argmin_hit(o, d, scene, eps, block_size, use_mxu, tri_search)
+    # stop_gradient on the *inputs*: differentiation must never trace into
+    # the search (the Pallas kernel has no JVP rule, and the O(R*N) scan
+    # would otherwise be linearized pointlessly).
+    best_t, prim, is_sphere = argmin_hit(
+        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+        jax.lax.stop_gradient(scene), eps, block_size, use_mxu, tri_search,
     )
     safe_prim = jnp.maximum(prim, 0)
 
@@ -395,7 +398,8 @@ def any_hit(
     Non-differentiable (boolean output). Spheres occlude too — an extension
     over the reference, which has no spheres.
     """
-    best_t, _, _ = jax.lax.stop_gradient(
-        argmin_hit(o, d, scene, eps, block_size, use_mxu, tri_search)
+    best_t, _, _ = argmin_hit(
+        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+        jax.lax.stop_gradient(scene), eps, block_size, use_mxu, tri_search,
     )
-    return best_t < t_limit
+    return best_t < jax.lax.stop_gradient(t_limit)

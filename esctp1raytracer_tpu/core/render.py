@@ -20,20 +20,13 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from esctp1raytracer_tpu.core.camera import Camera
-from esctp1raytracer_tpu.core.intersect import (
-    BIG,
-    EPS,
-    HitRecord,
-    any_hit,
-    closest_hit,
-)
+from esctp1raytracer_tpu.core.intersect import EPS, any_hit, closest_hit
 from esctp1raytracer_tpu.core.shading import shade
 from esctp1raytracer_tpu.scene.types import Scene
 
@@ -55,7 +48,7 @@ class RenderConfig:
     shadow_eps: float = 1e-4
     block_size: int = 512
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
-    backend: str = "jnp"  # "jnp" | "mxu" | "pallas"
+    backend: str = "jnp"  # "jnp" | "mxu" | "pallas" | "auto"
     seed: int = 0
     # "area" = corrected ISPC-style area-light sampling;
     # "reference_cpp" = bit-faithful reproduction of the C++ path's
@@ -66,15 +59,27 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
-def _search_fns(cfg: RenderConfig):
-    """Resolve the closest-hit / any-hit triangle search for a backend."""
-    if cfg.backend == "pallas":
+def _search_fns(cfg: RenderConfig, scene: Scene = None):
+    """Resolve the closest-hit / any-hit triangle search for a backend.
+
+    "auto" picks per scene size: the fused Pallas kernel amortizes only on
+    big primitive tables (its per-ray overhead floor loses to the MXU
+    matmul below ~4k triangles); beyond the kernel's VMEM capacity the MXU
+    blockwise scan takes over again.
+    """
+    backend = cfg.backend
+    if backend == "auto":
+        from esctp1raytracer_tpu.kernels.hit_pallas import VMEM_TRI_LIMIT
+
+        n = scene.triangles.capacity if scene is not None else 0
+        backend = "pallas" if 4096 <= n <= VMEM_TRI_LIMIT else "mxu"
+    if backend == "pallas":
         from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
 
         return pallas_tri_search, True
-    if cfg.backend == "mxu":
+    if backend == "mxu":
         return None, True
-    if cfg.backend == "jnp":
+    if backend == "jnp":
         return None, False
     raise ValueError(f"unknown backend {cfg.backend!r}")
 
@@ -124,7 +129,7 @@ def trace_rays(
              ray_ids.reshape(-1, chunk)),
         )
         return color.reshape(-1, 3)[:r]
-    backend_search, use_mxu = _search_fns(cfg)
+    backend_search, use_mxu = _search_fns(cfg, scene)
     if tri_search is None:
         tri_search = backend_search
     eps = jnp.float32(cfg.eps)

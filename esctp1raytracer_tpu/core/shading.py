@@ -36,7 +36,7 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from esctp1raytracer_tpu.core.intersect import EPS, HitRecord
+from esctp1raytracer_tpu.core.intersect import HitRecord
 from esctp1raytracer_tpu.scene.types import Scene
 from esctp1raytracer_tpu.utils import rng
 

@@ -21,14 +21,19 @@ window as the reference Möller–Trumbore (det outside +-eps, u,v in
 [eps, 1], u+v <= 1, t >= eps — quirk 16 band included); borderline pixels
 can flip at f32 rounding like between any two backends.
 
-Memory plan (per kernel invocation):
-  SMEM: the grid step's ray block [RG, 8] (o, d as scalars — dynamic
-        per-ray indexing is a scalar-memory operation), block AABBs
-        [8, NB], outputs [RG, 1].
-  VMEM: the triangle-constant table [16, NB, 8, 128] (f32, resident —
-        64 B/triangle, so ~200k triangles fit comfortably).
+Structure (per kernel invocation):
+  * an XLA pre-pass slab-tests every ray against the block AABBs and
+    compacts, per COHERENT-ray bundle, the union of hit blocks into an
+    ascending list + count — culling by *loop bound*, which the scalar
+    unit honors unconditionally (in-kernel lax.cond did not skip);
+  * SMEM: the grid step's ray scalars, bundle block lists and counts,
+    scalar outputs (dynamic scalar indexing is legal only in SMEM);
+  * VMEM: the triangle-constant table [16, NB, 8, 128] (f32, resident —
+    64 B/triangle, ~200k triangles fit), loaded one (8,128) field tile
+    per block and amortized over the bundle's 4 ray streams (which also
+    give the VPU its instruction-level parallelism).
 
-The kernel is search-only: closest_hit wraps it in stop_gradient and
+The kernel is search-only: closest_hit stops gradients at its inputs and
 recomputes t/u/v differentiably at the winning index (O(rays) backward).
 """
 
@@ -43,10 +48,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from esctp1raytracer_tpu.accel.clusters import build_clusters
-from esctp1raytracer_tpu.core.intersect import BIG, EPS, NO_HIT
+from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
 RAY_GROUP = 128          # rays per grid step (SMEM-resident scalars)
+COHERENT = 4             # rays per bundle sharing one culled block list
 BLOCK = 1024             # triangles per vector step, as (8, 128)
 VMEM_TRI_LIMIT = 196_608  # 16 rows * 4 B * N must fit VMEM alongside rays
 
@@ -109,8 +115,13 @@ def tri_constants_blocked(tris: TriangleBuffer):
 
 
 def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
-    """One grid step: RAY_GROUP rays, each scanning only its pre-culled
-    block list (ids_ref[0, i, :cnt_ref[0, i]], ascending block order)."""
+    """One grid step: RAY_GROUP rays in bundles of COHERENT=4.
+
+    Each bundle shares one pre-culled block list (the union of its rays'
+    lists — coherent neighbors mostly overlap), so the 13 triangle-constant
+    tile loads per block amortize over 4 rays' worth of vector work, and
+    the 4 independent intersection streams give the VPU instruction-level
+    parallelism."""
     eps = eps_ref[0]
     big = jnp.float32(BIG)
     lane_idx = (
@@ -118,20 +129,17 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
         + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     )
 
-    nb_max = ids_ref.shape[2] // (rays_ref.shape[2] // 8)
+    num_groups = rays_ref.shape[2] // (8 * COHERENT)
+    nb_max = ids_ref.shape[2] // num_groups
 
-    def ray_body(i, _):
-        base = i * 8
-        ox = rays_ref[0, 0, base + 0]
-        oy = rays_ref[0, 0, base + 1]
-        oz = rays_ref[0, 0, base + 2]
-        dx = rays_ref[0, 0, base + 3]
-        dy = rays_ref[0, 0, base + 4]
-        dz = rays_ref[0, 0, base + 5]
+    def group_body(g, _):
+        rays = []
+        for s in range(COHERENT):
+            base = (g * COHERENT + s) * 8
+            rays.append(tuple(rays_ref[0, 0, base + c] for c in range(6)))
 
         def block_body(k, carry):
-            bt, bi = carry
-            jb = ids_ref[0, 0, i * nb_max + k]
+            jb = ids_ref[0, 0, g * nb_max + k]
             nx = tc_ref[0, jb]
             ny = tc_ref[1, jb]
             nz = tc_ref[2, jb]
@@ -145,45 +153,53 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
             wvz = tc_ref[10, jb]
             bv = tc_ref[11, jb]
             vld = tc_ref[12, jb]
+            idx_grid = jb * BLOCK + lane_idx
 
-            det = -(dx * nx + dy * ny + dz * nz)
-            ok_det = jnp.abs(det) >= eps
-            inv = 1.0 / jnp.where(ok_det, det, 1.0)
-            t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
-            px = ox + t * dx
-            py = oy + t * dy
-            pz = oz + t * dz
-            u = wux * px + wuy * py + wuz * pz + bu
-            v = wvx * px + wvy * py + wvz * pz + bv
-            ok = (
-                ok_det
-                & (u >= eps) & (u <= 1.0)
-                & (v >= eps) & (u + v <= 1.0)
-                & (t >= eps) & (vld > 0.0)
-            )
-            t = jnp.where(ok, t, big)
-            better = t < bt
-            bt = jnp.where(better, t, bt)
-            bi = jnp.where(better, jb * BLOCK + lane_idx, bi)
-            return bt, bi
+            out = []
+            for s in range(COHERENT):
+                ox, oy, oz, dx, dy, dz = rays[s]
+                bt, bi = carry[2 * s], carry[2 * s + 1]
+                det = -(dx * nx + dy * ny + dz * nz)
+                ok_det = jnp.abs(det) >= eps
+                inv = 1.0 / jnp.where(ok_det, det, 1.0)
+                t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+                u = wux * px + wuy * py + wuz * pz + bu
+                v = wvx * px + wvy * py + wvz * pz + bv
+                ok = (
+                    ok_det
+                    & (u >= eps) & (u <= 1.0)
+                    & (v >= eps) & (u + v <= 1.0)
+                    & (t >= eps) & (vld > 0.0)
+                )
+                t = jnp.where(ok, t, big)
+                better = t < bt
+                out.append(jnp.where(better, t, bt))
+                out.append(jnp.where(better, idx_grid, bi))
+            return tuple(out)
 
-        init = (
-            jnp.full((8, 128), big, jnp.float32),
-            jnp.full((8, 128), NO_HIT, jnp.int32),
-        )
-        bt, bi = jax.lax.fori_loop(0, cnt_ref[0, 0, i], block_body, init)
+        init = []
+        for s in range(COHERENT):
+            init.append(jnp.full((8, 128), big, jnp.float32))
+            init.append(jnp.full((8, 128), NO_HIT, jnp.int32))
+        carry = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body, tuple(init))
 
-        # Reduce the (8, 128) partial minima: smallest t, and among equal
-        # t the smallest sorted index (ascending order = the reference's
-        # first-wins tie rule).
-        tmin = jnp.min(bt)
-        cand = jnp.where(bt == tmin, bi, _INT_BIG)
-        imin = jnp.min(cand)
-        t_ref[0, 0, i] = tmin
-        idx_ref[0, 0, i] = jnp.where(tmin < big, imin, NO_HIT)
+        for s in range(COHERENT):
+            bt, bi = carry[2 * s], carry[2 * s + 1]
+            # Reduce the (8, 128) partial minima: smallest t, and among
+            # equal t the smallest sorted index (ascending order = the
+            # reference's first-wins tie rule).
+            tmin = jnp.min(bt)
+            cand = jnp.where(bt == tmin, bi, _INT_BIG)
+            imin = jnp.min(cand)
+            i = g * COHERENT + s
+            t_ref[0, 0, i] = tmin
+            idx_ref[0, 0, i] = jnp.where(tmin < big, imin, NO_HIT)
         return 0
 
-    jax.lax.fori_loop(0, rays_ref.shape[2] // 8, ray_body, 0)
+    jax.lax.fori_loop(0, num_groups, group_body, 0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -210,14 +226,18 @@ def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
     tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     mask = (tn <= tf) & (tf >= 0.0)
+    # Bundle COHERENT adjacent rays: their union block list is shared
+    # (camera-order neighbors mostly agree), amortizing per-block loads.
+    gmask = jnp.any(mask.reshape(rp // COHERENT, COHERENT, nb), axis=1)
     # Stable argsort of ~mask: hit blocks first, ascending within each key.
-    ids = jnp.argsort(~mask, axis=1, stable=True).astype(jnp.int32)
-    cnt = jnp.sum(mask, axis=1).astype(jnp.int32)
+    ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
 
+    groups_per_step = RAY_GROUP // COHERENT
     rays = jnp.concatenate([o, d, jnp.zeros((rp, 2), o.dtype)], axis=1)
     rays = rays.reshape(rp // RAY_GROUP, 1, RAY_GROUP * 8)
-    ids = ids.reshape(rp // RAY_GROUP, 1, RAY_GROUP * nb)
-    cnt = cnt.reshape(rp // RAY_GROUP, 1, RAY_GROUP)
+    ids = ids.reshape(rp // RAY_GROUP, 1, groups_per_step * nb)
+    cnt = cnt.reshape(rp // RAY_GROUP, 1, groups_per_step)
 
     grid = rp // RAY_GROUP
     out = pl.pallas_call(
@@ -228,9 +248,9 @@ def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
             in_specs=[
                 pl.BlockSpec((1, 1, RAY_GROUP * 8), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, RAY_GROUP * nb), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, 1, groups_per_step * nb), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, RAY_GROUP), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, 1, groups_per_step), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(tc.shape, lambda i, *_: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM),

@@ -27,11 +27,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from esctp1raytracer_tpu.core.camera import Camera
-from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT, _scan_blocks
+from esctp1raytracer_tpu.core.intersect import NO_HIT, _scan_blocks
 from esctp1raytracer_tpu.core.render import RenderConfig, trace_rays
 from esctp1raytracer_tpu.scene.types import Scene
 

@@ -8,7 +8,6 @@ optimizer state between gradient steps, as compressed npz.
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import tempfile
 from typing import Any, Dict, Optional, Tuple

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""BASELINE.json config matrix benchmark.
+
+Runs the five canonical configs (single-chip; config 5's multi-host
+sharding falls back to the local mesh) and prints a JSON line per config:
+forward ms, forward+backward ms, rays/s. Heavier than bench.py — not run
+by the driver; use for tracking per-config performance.
+
+  1. sphere+plane        256x256   depth 1
+  2. 10-sphere + shadows 512x512   depth 2
+  3. ~10k-tri mesh       1920x1080 depth 1
+  4. mixed sphere+mesh   1920x1080 depth 4 (differentiable)
+  5. 100k-tri soup       3840x2160 depth 1 (sharded over local mesh)
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from esctp1raytracer_tpu import Camera, RenderConfig  # noqa: E402
+from esctp1raytracer_tpu.core.render import trace_rays  # noqa: E402
+from esctp1raytracer_tpu.parallel.sharding import float_params, merge_params  # noqa: E402
+from esctp1raytracer_tpu.scene import builders  # noqa: E402
+
+CONFIGS = [
+    ("sphere_plane_256", builders.sphere_plane_scene, (0, 2, 6), 256, 256, 1),
+    ("ten_sphere_512", builders.ten_sphere_scene, (0, 4, 8), 512, 512, 2),
+    ("mesh10k_1080p", lambda: builders.mesh_scene(4), (0, 2, 6), 1920, 1080, 1),
+    ("mixed_1080p_d4", builders.mixed_scene, (0, 2.5, 7), 1920, 1080, 4),
+    ("soup100k_4k", lambda: builders.random_scene(100_000), (0, 18, 45), 3840, 2160, 1),
+]
+
+
+def run_config(name, make_scene, eye, width, height, depth, backward=True):
+    scene = make_scene()
+    cam = Camera.look_at(eye, (0, 1, 0), vfov=60.0, aspect=width / height)
+    cfg = RenderConfig(backend="mxu", depth=depth, ray_chunk=131072)
+    o, d = cam.ray_grid(width, height)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+    rays = o.shape[0]
+    params = float_params(scene)
+
+    fwd = jax.jit(lambda ps: jnp.sum(
+        trace_rays(o, d, merge_params(scene, ps), ids, cfg) ** 2))
+    fwd(params).block_until_ready()
+
+    def timeit(fn, iters=2):
+        fn(params)
+        t0 = time.time()
+        out = [fn(params) for _ in range(iters)]
+        jax.block_until_ready(out)
+        return (time.time() - t0) / iters
+
+    dt_f = timeit(fwd)
+    record = {
+        "config": name, "rays": rays, "tris": scene.num_triangles,
+        "depth": depth, "forward_ms": round(dt_f * 1e3, 1),
+        "forward_rays_per_s": round(rays / dt_f, 1),
+    }
+    if backward:
+        bwd = jax.jit(jax.grad(lambda ps: jnp.sum(
+            trace_rays(o, d, merge_params(scene, ps), ids, cfg))))
+        bwd(params)
+        dt_b = timeit(bwd)
+        record["fwd_bwd_ms"] = round(dt_b * 1e3, 1)
+        record["fwd_bwd_rays_per_s"] = round(rays / dt_b, 1)
+    print(json.dumps(record), flush=True)
+
+
+def main():
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for name, make_scene, eye, w, h, depth in CONFIGS:
+        if only and only not in name:
+            continue
+        run_config(name, make_scene, eye, w, h, depth,
+                   backward=name != "soup100k_4k")
+
+
+if __name__ == "__main__":
+    main()
