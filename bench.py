@@ -120,9 +120,20 @@ def main():
             co, cd = co.reshape(-1, 3), cd.reshape(-1, 3)
             cids = jnp.arange(co.shape[0], dtype=jnp.uint32)
             ccfg = cfg
-            cf = jax.jit(lambda: jnp.sum(trace_rays(co, cd, cscene, cids, ccfg)))
+            reps = 8  # amortize per-call dispatch latency (tunnel RTT)
+
+            @jax.jit
+            def cf():
+                def body(i, acc):
+                    # fold i into the ray ids so each iteration is a real
+                    # (non-hoistable) render with fresh light samples
+                    c = trace_rays(co, cd, cscene,
+                                   cids + i.astype(jnp.uint32), ccfg)
+                    return acc + jnp.sum(c)
+                return jax.lax.fori_loop(0, reps, body, 0.0)
+
             cf().block_until_ready()
-            dt_c = time_it(cf)
+            dt_c = time_it(cf) / reps
             cornell_rays = co.shape[0] / dt_c
             vs_baseline = cornell_rays / ref_rays
             print(
