@@ -201,9 +201,16 @@ def shade(
     l_dir = l_vec / dist[..., None]
     t_limit = dist - shadow_eps
 
+    # Missed primary rays contribute nothing, but their shadow queries
+    # would still traverse the scene. Park their origin far outside every
+    # bounding box so the culling backends drop them for free (the result
+    # is masked by `visible` regardless).
+    far = jnp.asarray([3e7, 3e7, 3e7], hit_p.dtype)
+    occl_origin = jnp.where(hit.hit[:, None], hit_p, far)
+
     flat = lambda a: a.reshape((r * num_l,) + a.shape[2:])
     occluded = occlusion_fn(
-        flat(jnp.broadcast_to(hit_p[:, None, :], l_vec.shape)),
+        flat(jnp.broadcast_to(occl_origin[:, None, :], l_vec.shape)),
         flat(l_dir),
         flat(t_limit),
     ).reshape(r, num_l)

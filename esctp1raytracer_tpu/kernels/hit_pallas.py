@@ -30,7 +30,7 @@ Structure (per kernel invocation):
     scalar outputs (dynamic scalar indexing is legal only in SMEM);
   * VMEM: the triangle-constant table [16, NB, 8, 128] (f32, resident —
     64 B/triangle, ~200k triangles fit), loaded one (8,128) field tile
-    per block and amortized over the bundle's 4 ray streams (which also
+    per block and amortized over the bundle's ray streams (which also
     give the VPU its instruction-level parallelism).
 
 The kernel is search-only: closest_hit stops gradients at its inputs and
@@ -52,7 +52,7 @@ from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
 RAY_GROUP = 128          # rays per grid step (SMEM-resident scalars)
-COHERENT = 4             # rays per bundle sharing one culled block list
+COHERENT = 8             # rays per bundle sharing one culled block list
 BLOCK = 1024             # triangles per vector step, as (8, 128)
 VMEM_TRI_LIMIT = 196_608  # 16 rows * 4 B * N must fit VMEM alongside rays
 
@@ -115,12 +115,12 @@ def tri_constants_blocked(tris: TriangleBuffer):
 
 
 def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
-    """One grid step: RAY_GROUP rays in bundles of COHERENT=4.
+    """One grid step: RAY_GROUP rays in bundles of COHERENT.
 
     Each bundle shares one pre-culled block list (the union of its rays'
     lists — coherent neighbors mostly overlap), so the 13 triangle-constant
-    tile loads per block amortize over 4 rays' worth of vector work, and
-    the 4 independent intersection streams give the VPU instruction-level
+    tile loads per block amortize over the bundle's vector work, and the
+    independent intersection streams give the VPU instruction-level
     parallelism."""
     eps = eps_ref[0]
     big = jnp.float32(BIG)
