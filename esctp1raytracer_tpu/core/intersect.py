@@ -198,15 +198,15 @@ def hits_from_features(
     Returns (t, u, v, ok) each [R, B]; t = BIG on miss.
     """
     # One contraction [R,16] @ [16, B*4] so the MXU sees a single wide
-    # matmul. Precision HIGH (bf16x3): measured on-chip as winner-identical
-    # to HIGHEST (bf16x6) on the 10k-tri benchmark while 17% faster; the
-    # single-pass DEFAULT flips ~0.1% of winners, too coarse for the
-    # eps-window acceptance tests. The recompute at the winner is exact
-    # f32 regardless (closest_hit), so search precision only picks the
-    # borderline winner.
+    # matmul. Precision HIGHEST (bf16x6 ~ f32-faithful): HIGH (bf16x3) is
+    # winner-identical for closest-hit argmin and 17% faster, but its
+    # cancellation error in t_num = o.n - v0.n (measured ~6e-5 relative)
+    # is comparable to the 1e-4 shadow-ray margin and flipped ~6% of
+    # Cornell pixels' occlusion tests on-chip. Revisit only with a wider
+    # shadow margin or a separate any-hit formulation.
     tf_mat = jnp.swapaxes(tf, 0, 1).reshape(NUM_FEATURES, -1)  # [16, B*4]
     s = jnp.dot(rf, tf_mat, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGH)  # [R, B*4]
+                precision=jax.lax.Precision.HIGHEST)  # [R, B*4]
     s = s.reshape(rf.shape[0], tf.shape[0], 4)
     det, t_num, u_num, v_num = s[..., 0], s[..., 1], s[..., 2], s[..., 3]
     ok_det = jnp.abs(det) >= eps

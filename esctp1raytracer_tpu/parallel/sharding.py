@@ -122,6 +122,8 @@ def render_sharded(
     use_prims = mesh.shape[PRIMS_AXIS] > 1
     tri_search = _prim_sharded_search(cfg, PRIMS_AXIS) if use_prims else None
 
+    @jax.jit  # without jit the shard_map executes op-by-op (catastrophic
+    # through a remote-dispatch tunnel: measured 110x slower)
     @partial(
         shard_map,
         mesh=mesh,
@@ -192,6 +194,7 @@ def loss_and_grad_sharded(
 
     params = float_params(scene)
 
+    @jax.jit  # see render_sharded: eager shard_map dispatches op-by-op
     @partial(
         shard_map,
         mesh=mesh,
