@@ -58,7 +58,7 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
     fwd(params).block_until_ready()
 
     def timeit(fn, iters=2):
-        fn(params)
+        jax.block_until_ready(fn(params))  # block the warm call too
         t0 = time.time()
         out = [fn(params) for _ in range(iters)]
         jax.block_until_ready(out)
@@ -82,8 +82,17 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
 
 def main():
     only = sys.argv[1] if len(sys.argv) > 1 else None
+    if only is None:
+        # One subprocess per config: a single long-lived process accretes
+        # device state and the timings of later configs degrade badly
+        # (measured >10x); isolated processes give stable numbers.
+        import subprocess
+        for name, *_ in CONFIGS:
+            subprocess.run([sys.executable, os.path.abspath(__file__), name],
+                           check=False)
+        return
     for name, make_scene, eye, w, h, depth in CONFIGS:
-        if only and only not in name:
+        if only not in name:
             continue
         run_config(name, make_scene, eye, w, h, depth,
                    backward=name != "soup100k_4k")
