@@ -53,9 +53,26 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
     rays = o.shape[0]
     params = float_params(scene)
 
-    fwd = jax.jit(lambda ps: jnp.sum(
-        trace_rays(o, d, merge_params(scene, ps), ids, cfg) ** 2))
-    fwd(params).block_until_ready()
+    # A single device execution of ~8e11 ray-triangle pairs dies with a
+    # TPU-device error (suspected execution watchdog in the remote
+    # terminal; 4K x cornell and 1080p x 100k each run fine). Split giant
+    # workloads into host-level slices of bounded pair count.
+    slices = 1
+    while (rays // slices) * scene.num_triangles > 3e11:
+        slices *= 2
+    o_s = o.reshape(slices, -1, 3)
+    d_s = d.reshape(slices, -1, 3)
+    ids_s = ids.reshape(slices, -1)
+
+    fwd_one = jax.jit(lambda ps, oo, dd, ii: jnp.sum(
+        trace_rays(oo, dd, merge_params(scene, ps), ii, cfg) ** 2))
+
+    def fwd(ps):
+        return sum(fwd_one(ps, o_s[s], d_s[s], ids_s[s]) for s in range(slices))
+
+    jax.block_until_ready(fwd(params))
+    if slices > 1:
+        print(f"# {name}: {slices} host-level slices", file=sys.stderr)
 
     def timeit(fn, iters=2):
         jax.block_until_ready(fn(params))  # block the warm call too
