@@ -117,3 +117,24 @@ class TestSphereScenes:
         lit_vals = ground.sum(-1)
         hit_ground = lit_vals >= 0  # all rows
         assert (lit_vals[hit_ground] == 0).any() or lit_vals.std() > 0.05
+
+
+class TestAutoBackend:
+    def test_auto_picks_mxu_for_small_scenes(self, cornell):
+        from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
+
+        search, use_mxu = _search_fns(RenderConfig(backend="auto"), cornell)
+        assert search is None and use_mxu  # mxu path below 4k triangles
+
+    def test_auto_picks_pallas_for_big_scenes(self):
+        from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
+        from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
+        from esctp1raytracer_tpu.scene.builders import mesh_scene
+
+        scene = mesh_scene(subdivisions=4)  # ~5.6k triangles
+        search, _ = _search_fns(RenderConfig(backend="auto"), scene)
+        assert search is pallas_tri_search
+
+    def test_auto_renders(self, cornell):
+        img = _img(cornell, CAM, 32, RenderConfig(backend="auto"))
+        assert np.isfinite(img).all() and img.max() > 0
