@@ -15,8 +15,7 @@ from esctp1raytracer_tpu.utils.debug import get_logger
 logger = get_logger(__name__)
 
 _NATIVE_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
 )
 _SRC = os.path.join(_NATIVE_DIR, "bvh.cpp")
 _LIB = os.path.join(_NATIVE_DIR, "libescbvh.so")

@@ -361,6 +361,11 @@ def closest_hit(
         (scene.triangles.v0, scene.triangles.v1, scene.triangles.v2),
     )
     t_tri, u_tri, v_tri, _ = mt_intersect(o, d, *tri, eps)
+    # Borderline winners can be accepted by the (differently-rounded)
+    # backend search yet rejected by this recompute; fall back to the
+    # search's own t (already non-differentiable) instead of leaving the
+    # hit point at the BIG sentinel and shading the pixel black.
+    t_tri = jnp.where(t_tri < BIG, t_tri, best_t)
 
     # Sphere recompute with fully sanitized masked lanes: non-sphere rays
     # evaluate a benign constant configuration (unit sphere, axis ray) so
@@ -376,6 +381,7 @@ def closest_hit(
     c_s = jnp.where(m, c, 0.0)
     r_s = jnp.where(is_s, r, 1.0)
     t_sph, _ = sphere_intersect(o_s, d_s, c_s, r_s, eps)
+    t_sph = jnp.where(t_sph < BIG, t_sph, best_t)  # same borderline fallback
 
     hit = prim >= 0
     t = jnp.where(is_sphere, t_sph, t_tri)

@@ -154,14 +154,18 @@ def sample_lights(
     tri = tri[:, :, 0]
 
     if mode == "reference_cpp":
-        # P = corner `faceID` of the first light face; r1/r2 are drawn but
-        # multiply zero vectors in the reference, so they are unused.
-        first = lights.tri_idx[:, 0]  # [L]
-        c0 = jnp.take(scene.triangles.v0, first, axis=0)[None]  # [1, L, 3]
-        c1 = jnp.take(scene.triangles.v1, first, axis=0)[None]
-        c2 = jnp.take(scene.triangles.v2, first, axis=0)[None]
-        f = face[:, :, None]
-        p = jnp.where(f == 0, c0, jnp.where(f == 1, c1, c2))
+        # P = light.vertex[faceID]: `vertex` is the de-indexed corner array
+        # (3 records per face, src/scene/sceneloader.cpp:78-97), so faceID
+        # in [0, F) addresses corner faceID % 3 of face faceID // 3. r1/r2
+        # are drawn but multiply zero vectors in the reference, so unused.
+        src_tri = jnp.take_along_axis(
+            lights.tri_idx[None, :, :], (face // 3)[:, :, None], axis=2
+        )[:, :, 0]  # [R, L]
+        c0 = jnp.take(scene.triangles.v0, src_tri, axis=0)  # [R, L, 3]
+        c1 = jnp.take(scene.triangles.v1, src_tri, axis=0)
+        c2 = jnp.take(scene.triangles.v2, src_tri, axis=0)
+        corner = (face % 3)[:, :, None]
+        p = jnp.where(corner == 0, c0, jnp.where(corner == 1, c1, c2))
         return p, tri, L
 
     v0 = jnp.take(scene.triangles.v0, tri, axis=0)  # [R, L, 3]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -80,9 +80,12 @@ def fit_scene(
     single-device renderer is differentiated directly.
     """
     start_step = 0
-    if checkpoint_path and jax.process_index() == 0:
+    resume_extra: Dict[str, np.ndarray] = {}
+    # Every process loads the checkpoint (all hold the replicated scene;
+    # resuming only on process 0 would make the processes diverge).
+    if checkpoint_path:
         try:
-            scene, start_step, _ = load_checkpoint(checkpoint_path, scene)
+            scene, start_step, resume_extra = load_checkpoint(checkpoint_path, scene)
             logger.info("resumed from %s at step %d", checkpoint_path, start_step)
         except FileNotFoundError:
             pass
@@ -104,6 +107,21 @@ def fit_scene(
 
     params = float_params(scene)
     state = adam_init(params)
+    if "adam_t" in resume_extra:  # restore the optimizer moments too —
+        # resetting them would change the optimization trajectory
+        state = {
+            "m": [jnp.asarray(resume_extra[f"adam_m_{i}"]) for i in range(len(params))],
+            "v": [jnp.asarray(resume_extra[f"adam_v_{i}"]) for i in range(len(params))],
+            "t": jnp.asarray(resume_extra["adam_t"], jnp.int32),
+        }
+
+    def adam_extra(st):
+        extra = {"adam_t": st["t"]}
+        for i, (m_, v_) in enumerate(zip(st["m"], st["v"])):
+            extra[f"adam_m_{i}"] = m_
+            extra[f"adam_v_{i}"] = v_
+        return extra
+
     frozen = [
         param_filter is not None and not param_filter(i, p)
         for i, p in enumerate(params)
@@ -118,9 +136,10 @@ def fit_scene(
         if log_every and step % log_every == 0:
             logger.info("step %d loss %.6g", step, losses[-1])
         if checkpoint_path and checkpoint_every and (step + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint_path, merge_params(scene, params), step + 1)
+            save_checkpoint(checkpoint_path, merge_params(scene, params),
+                            step + 1, extra=adam_extra(state))
 
     final = merge_params(scene, params)
     if checkpoint_path:
-        save_checkpoint(checkpoint_path, final, steps)
+        save_checkpoint(checkpoint_path, final, steps, extra=adam_extra(state))
     return OptimizeResult(scene=final, losses=losses, steps=steps - start_step)

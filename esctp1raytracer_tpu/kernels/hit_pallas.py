@@ -114,6 +114,32 @@ def tri_constants_blocked(tris: TriangleBuffer):
     return tc, aabbs, perm
 
 
+def block_cull_mask(o: jax.Array, d: jax.Array, aabbs: jax.Array,
+                    t_limit: jax.Array = None) -> jax.Array:
+    """Slab-test rays [R, 3] against block AABBs [8, NB] -> mask [R, NB].
+
+    NaN-safe: a zero direction component whose origin sits exactly on a
+    slab plane yields 0 * inf = NaN; the negated comparison form makes
+    those lanes fall through to "keep" — a conservative extra block test
+    instead of a wrongly culled (potentially hit) block.
+
+    With `t_limit` [R] set (shadow/occlusion rays), blocks whose slab
+    entry lies beyond the limit are culled too — the t-ceiling analogue of
+    the reference's early-exit occlusion (src/main.cpp:314-329).
+    """
+    inv = 1.0 / d  # inf on zero components is correct slab behavior
+    bmin = aabbs[0:3].T  # [NB, 3]
+    bmax = aabbs[3:6].T
+    t0 = (bmin[None] - o[:, None]) * inv[:, None]  # [R, NB, 3]
+    t1 = (bmax[None] - o[:, None]) * inv[:, None]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    reject = (tn > tf) | (tf < 0.0)
+    if t_limit is not None:
+        reject |= tn > t_limit[:, None]
+    return ~reject
+
+
 def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
     """One grid step: RAY_GROUP rays in bundles of COHERENT.
 
@@ -218,14 +244,7 @@ def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
     # block AABBs and compact the hit blocks into an ascending per-ray
     # list. The kernel then loops exactly cnt[i] blocks per ray — culling
     # by loop bound, which the scalar unit honors unconditionally.
-    inv = 1.0 / d  # inf on zero components is correct slab behavior
-    bmin = aabbs[0:3].T  # [NB, 3]
-    bmax = aabbs[3:6].T
-    t0 = (bmin[None] - o[:, None]) * inv[:, None]  # [R, NB, 3]
-    t1 = (bmax[None] - o[:, None]) * inv[:, None]
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    mask = (tn <= tf) & (tf >= 0.0)
+    mask = block_cull_mask(o, d, aabbs)
     # Bundle COHERENT adjacent rays: their union block list is shared
     # (camera-order neighbors mostly agree), amortizing per-block loads.
     gmask = jnp.any(mask.reshape(rp // COHERENT, COHERENT, nb), axis=1)

@@ -68,6 +68,13 @@ def _prim_sharded_search(cfg: RenderConfig, axis: str):
         n_shards = jax.lax.axis_size(axis)
         my = jax.lax.axis_index(axis)
         cap = tris.capacity
+        if cap % n_shards:
+            raise ValueError(
+                f"triangle capacity {cap} is not divisible by the 'prims' "
+                f"axis size {n_shards}; the trailing {cap % n_shards} "
+                "triangles would never be tested. Pad the table (capacities "
+                "are already padded to powers of two) or change the mesh."
+            )
         shard = cap // n_shards
         base = my * shard
         local = jax.tree.map(
