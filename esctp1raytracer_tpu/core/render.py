@@ -145,11 +145,24 @@ def trace_rays(
     throughput = jnp.ones((r, 3), jnp.float32)
     active = jnp.ones((r,), bool)
 
+    from esctp1raytracer_tpu.utils.debug import TRACE, current_level
+
     for bounce in range(cfg.depth):
         hit = closest_hit(
             o, d, scene, eps,
             block_size=cfg.block_size, use_mxu=use_mxu, tri_search=tri_search,
         )
+        if current_level() >= TRACE:
+            # The reference dumps per-hit info under --trace
+            # (src/ispc/trace.ispc:94-100, src/main.cpp:607-616); at
+            # wavefront scale that becomes a per-bounce hit summary plus
+            # the first ray's hit record, printed from the device.
+            jax.debug.print(
+                "trace[bounce " + str(bounce) + "]: hits={h}/{r} "
+                "t[0]={t0} prim[0]={p0} u[0]={u0} v[0]={v0}",
+                h=jnp.sum(hit.hit), r=hit.hit.shape[0],
+                t0=hit.t[0], p0=hit.prim[0], u0=hit.u[0], v0=hit.v[0],
+            )
         local, hit_p, normal, ks = shade(
             o, d, hit, scene, cfg.seed, ray_ids, occl,
             shadow_eps=cfg.shadow_eps, bounce=bounce, light_mode=cfg.light_mode,

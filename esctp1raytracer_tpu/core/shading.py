@@ -139,15 +139,15 @@ def sample_lights(
         return (jnp.zeros((num_rays, 0, 3), jnp.float32),
                 jnp.zeros((num_rays, 0), jnp.int32), 0)
 
-    faces, r1s, r2s = [], [], []
-    for l in range(L):
-        stream = (bounce * 1024 + l) * 4
-        faces.append(rng.randint(seed, ray_ids, stream, lights.face_count[l]))
-        r1s.append(rng.uniform01(seed, ray_ids, stream + 1))
-        r2s.append(rng.uniform01(seed, ray_ids, stream + 2))
-    face = jnp.stack(faces, axis=1)  # [R, L]
-    r1 = jnp.stack(r1s, axis=1)[..., None]
-    r2 = jnp.stack(r2s, axis=1)[..., None]
+    # One vectorized draw per (ray, light): stream ids (bounce*1024+l)*4
+    # exactly as the former per-light Python unroll, so renders are
+    # bit-identical, but the light axis scales to many emissive sources.
+    streams = (jnp.uint32(bounce * 1024)
+               + jnp.arange(L, dtype=jnp.uint32)) * jnp.uint32(4)  # [L]
+    rid = ray_ids[:, None]
+    face = rng.randint(seed, rid, streams, lights.face_count[None, :])  # [R, L]
+    r1 = rng.uniform01(seed, rid, streams + jnp.uint32(1))[..., None]
+    r2 = rng.uniform01(seed, rid, streams + jnp.uint32(2))[..., None]
 
     # tri_idx [L, F]; want [R, L] = tri_idx[l, face[r, l]].
     tri = jnp.take_along_axis(lights.tri_idx[None, :, :], face[:, :, None], axis=2)

@@ -50,6 +50,8 @@ def scene_from_mesh(
     v = np.zeros((capacity, 3, 3), np.float32)
     n = np.zeros((capacity, 3, 3), np.float32)
     has_normals = np.zeros((capacity,), bool)
+    uv = np.zeros((capacity, 3, 2), np.float32)
+    has_uv = np.zeros((capacity,), bool)
     ka = np.zeros((capacity, 3), np.float32)
     kd = np.zeros((capacity, 3), np.float32)
     ks = np.zeros((capacity, 3), np.float32)
@@ -70,6 +72,9 @@ def scene_from_mesh(
         if mesh.normals is not None:
             n[sl] = mesh.normals
             has_normals[sl] = True
+        if mesh.uv is not None:
+            uv[sl] = mesh.uv
+            has_uv[sl] = True
         mat = mesh.material
         ka[sl] = mat.ka
         kd[sl] = mat.kd
@@ -108,6 +113,10 @@ def scene_from_mesh(
         n1=jnp.asarray(n[:, 1]),
         n2=jnp.asarray(n[:, 2]),
         has_normals=jnp.asarray(has_normals),
+        uv0=jnp.asarray(uv[:, 0]),
+        uv1=jnp.asarray(uv[:, 1]),
+        uv2=jnp.asarray(uv[:, 2]),
+        has_uv=jnp.asarray(has_uv),
         ka=jnp.asarray(ka),
         kd=jnp.asarray(kd),
         ks=jnp.asarray(ks),

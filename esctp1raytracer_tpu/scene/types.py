@@ -116,6 +116,10 @@ class TriangleBuffer:
     n1: jax.Array  # [N, 3]
     n2: jax.Array  # [N, 3]
     has_normals: jax.Array  # [N] bool
+    uv0: jax.Array  # [N, 2] — texcoords carried through the flatten like
+    uv1: jax.Array  # [N, 2]   the reference's Geometry.uv (scene.h:21-33);
+    uv2: jax.Array  # [N, 2]   neither renderer samples textures (yet)
+    has_uv: jax.Array  # [N] bool
     ka: jax.Array  # [N, 3]
     kd: jax.Array  # [N, 3]
     ks: jax.Array  # [N, 3]
@@ -137,11 +141,13 @@ class TriangleBuffer:
     @staticmethod
     def empty(capacity: int = DEFAULT_PAD_MULTIPLE) -> "TriangleBuffer":
         z3 = jnp.zeros((capacity, 3), jnp.float32)
+        z2 = jnp.zeros((capacity, 2), jnp.float32)
         z1 = jnp.zeros((capacity,), jnp.float32)
         zb = jnp.zeros((capacity,), bool)
         zi = jnp.full((capacity,), -1, jnp.int32)
         return TriangleBuffer(
             v0=z3, v1=z3, v2=z3, n0=z3, n1=z3, n2=z3, has_normals=zb,
+            uv0=z2, uv1=z2, uv2=z2, has_uv=zb,
             ka=z3, kd=z3, ks=z3, ke=z3, ns=z1, is_light=zb,
             geom_id=zi, prim_id=zi, valid=zb,
         )

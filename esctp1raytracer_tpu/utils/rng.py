@@ -30,23 +30,29 @@ def _fmix32(h: jax.Array) -> jax.Array:
     return h
 
 
-def hash_u32(seed, ray_id: jax.Array, stream: int) -> jax.Array:
-    """Mix (seed, ray_id, stream) into uniform uint32 bits, shape of ray_id."""
+def hash_u32(seed, ray_id: jax.Array, stream) -> jax.Array:
+    """Mix (seed, ray_id, stream) into uniform uint32 bits.
+
+    `stream` may be a scalar or an array broadcastable against `ray_id`
+    (e.g. ray_id [R, 1] x stream [L] -> draws [R, L]); identical
+    (seed, ray_id, stream) coordinates give identical bits either way.
+    """
     h = jnp.asarray(ray_id).astype(jnp.uint32)
     h = _fmix32(h ^ (jnp.uint32(seed) + _GOLDEN))
-    h = _fmix32(h ^ (jnp.uint32(stream) * _C1 + _GOLDEN))
+    h = _fmix32(h ^ (jnp.asarray(stream).astype(jnp.uint32) * _C1 + _GOLDEN))
     return h
 
 
-def uniform01(seed, ray_id: jax.Array, stream: int) -> jax.Array:
-    """Uniform float32 in [0, 1) per ray — 24 mantissa-quality bits."""
+def uniform01(seed, ray_id: jax.Array, stream) -> jax.Array:
+    """Uniform float32 in [0, 1) per draw — 24 mantissa-quality bits."""
     bits = hash_u32(seed, ray_id, stream)
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def randint(seed, ray_id: jax.Array, stream: int, maxval: jax.Array) -> jax.Array:
-    """Uniform int in [0, maxval) per ray (maxval broadcastable, >= 1)."""
+def randint(seed, ray_id: jax.Array, stream, maxval: jax.Array) -> jax.Array:
+    """Uniform int in [0, maxval) per draw (maxval broadcastable, >= 1)."""
     u = uniform01(seed, ray_id, stream)
+    maxval = jnp.asarray(maxval)
     return jnp.minimum(
         (u * maxval.astype(jnp.float32)).astype(jnp.int32), maxval - 1
     )

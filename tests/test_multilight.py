@@ -1,0 +1,156 @@
+"""Multi-light-source correctness (VERDICT round-1, item 9).
+
+The reference accumulates per light source: (ka*0.5+ke)/L + (kd*d +
+ks*dot(N,H)^Ns)/L with occlusion and d>0 gating per light
+(src/main.cpp:740-788, L = light_sources.size()). Round 1 only ever
+rendered single-light scenes; these tests pin the L>=2 path and the
+vectorized sampling refactor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esctp1raytracer_tpu import Camera, RenderConfig, render
+from esctp1raytracer_tpu.core.intersect import EPS, closest_hit
+from esctp1raytracer_tpu.core.shading import sample_lights, shade
+from esctp1raytracer_tpu.scene.builders import scene_from_mesh
+from esctp1raytracer_tpu.scene.types import Material, MeshData
+from esctp1raytracer_tpu.utils import rng
+
+
+def _quad(cx, cy, cz, half, mat):
+    """Two-triangle horizontal quad facing down at height cy."""
+    v = np.asarray(
+        [
+            [[cx - half, cy, cz - half], [cx + half, cy, cz + half],
+             [cx + half, cy, cz - half]],
+            [[cx - half, cy, cz - half], [cx - half, cy, cz + half],
+             [cx + half, cy, cz + half]],
+        ],
+        np.float32,
+    )
+    return MeshData(name="q", vertices=v, normals=None, uv=None, material=mat)
+
+
+def _floor(mat):
+    v = np.asarray(
+        [
+            [[-20, 0, -20], [20, 0, 20], [20, 0, -20]],
+            [[-20, 0, -20], [-20, 0, 20], [20, 0, 20]],
+        ],
+        np.float32,
+    )
+    return MeshData(name="floor", vertices=v, normals=None, uv=None, material=mat)
+
+
+@pytest.fixture(scope="module")
+def two_light_scene():
+    lm = Material.make(ke=(4, 4, 4))
+    return scene_from_mesh([
+        _floor(Material.make(kd=(1.0, 0.5, 0.25), ka=(0.2, 0.2, 0.2))),
+        _quad(-2.0, 5.0, 0.0, 1e-4, lm),
+        _quad(2.0, 5.0, 0.0, 1e-4, lm),
+    ])
+
+
+class TestSampling:
+    def test_matches_unrolled_reference_impl(self, two_light_scene):
+        """The vectorized draws must be bit-identical to the round-1
+        per-light Python unroll (stream = (bounce*1024 + l)*4)."""
+        scene = two_light_scene
+        ids = jnp.arange(257, dtype=jnp.uint32)
+        p, tri, L = sample_lights(scene, seed=3, ray_ids=ids, bounce=2)
+        assert L == 2
+        lights = scene.lights
+        for l in range(L):
+            stream = (2 * 1024 + l) * 4
+            face = rng.randint(3, ids, stream, lights.face_count[l])
+            r1 = rng.uniform01(3, ids, stream + 1)[:, None]
+            r2 = rng.uniform01(3, ids, stream + 2)[:, None]
+            t = jnp.take_along_axis(
+                lights.tri_idx[l][None, :], face[:, None], axis=1
+            )[:, 0]
+            v0 = jnp.take(scene.triangles.v0, t, axis=0)
+            v1 = jnp.take(scene.triangles.v1, t, axis=0)
+            v2 = jnp.take(scene.triangles.v2, t, axis=0)
+            expect = v0 + (v1 - v0) * r1 + (v2 - v0) * r2
+            np.testing.assert_array_equal(np.asarray(p[:, l]), np.asarray(expect))
+            np.testing.assert_array_equal(np.asarray(tri[:, l]), np.asarray(t))
+
+
+class TestTwoLightShading:
+    def test_matches_reference_formula(self, two_light_scene):
+        """Direct numpy evaluation of the reference per-light sum for an
+        unoccluded point under two (near-point) area lights."""
+        scene = two_light_scene
+        # x != z so the hit is strictly inside one floor triangle (the
+        # quad diagonal x == z sits in the eps miss band, quirk 16).
+        o = jnp.asarray([[1.0, 3.0, -2.0]], jnp.float32)
+        d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+        ids = jnp.zeros((1,), jnp.uint32)
+        hit = closest_hit(o, d, scene, jnp.float32(EPS))
+        assert bool(hit.hit[0])
+
+        def occl(oo, dd, tl):
+            from esctp1raytracer_tpu.core.intersect import any_hit
+            return any_hit(oo, dd, tl, scene, jnp.float32(EPS))
+
+        color, hit_p, normal, _ = shade(o, d, hit, scene, 0, ids, occl)
+        color = np.asarray(color)[0]
+
+        # Expected: lights are ~point sources at (+-2, 5, 0); hit ~(0,0,0);
+        # N=(0,1,0); L = number of sources = 2.
+        hp = np.asarray(hit_p)[0]
+        n = np.asarray(normal)[0]
+        kd = np.asarray([1.0, 0.5, 0.25])
+        ka = np.asarray([0.2, 0.2, 0.2])
+        expected = np.zeros(3)
+        for lx in (-2.0, 2.0):
+            P = np.asarray([lx, 5.0, 0.0])
+            lv = P - hp
+            ldir = lv / np.linalg.norm(lv)
+            dnl = float(n @ ldir)
+            assert dnl > 0
+            expected += (ka * 0.5) / 2 + kd * dnl / 2  # ks = 0, ke(floor) = 0
+        np.testing.assert_allclose(color, expected, atol=2e-3)
+
+    def test_one_light_occluded_drops_its_term(self, two_light_scene):
+        """A blocker between the hit point and light B must remove exactly
+        B's diffuse term (the reference `continue`s out of both terms)."""
+        lm = Material.make(ke=(4, 4, 4))
+        blocker = _quad(2.0, 4.0, 0.0, 1.0, Material.make(kd=(0.1, 0.1, 0.1)))
+        floor = _floor(Material.make(kd=(1.0, 0.5, 0.25), ka=(0.2, 0.2, 0.2)))
+        open_scene = scene_from_mesh(
+            [floor, _quad(-2.0, 5.0, 0.0, 1e-4, lm), _quad(2.0, 5.0, 0.0, 1e-4, lm)]
+        )
+        blocked_scene = scene_from_mesh(
+            [floor, _quad(-2.0, 5.0, 0.0, 1e-4, lm), _quad(2.0, 5.0, 0.0, 1e-4, lm),
+             blocker]
+        )
+        cam = Camera.look_at((0, 3, 0.01), (0, 0, 0), vfov=30.0, aspect=1.0)
+        cfg = RenderConfig()
+        img_open = np.asarray(render(open_scene, cam, 8, 8, cfg))
+        img_blk = np.asarray(render(blocked_scene, cam, 8, 8, cfg))
+        hp = np.zeros(3)
+        P = np.asarray([2.0, 5.0, 0.0])
+        ldir = (P - hp) / np.linalg.norm(P - hp)
+        dnl = float(np.asarray([0, 1, 0]) @ ldir)
+        kd = np.asarray([1.0, 0.5, 0.25])
+        # Center pixel looks at ~origin; losing light B removes its
+        # lit+base term entirely.
+        delta = img_open[4, 4] - img_blk[4, 4]
+        expected = (np.asarray([0.2, 0.2, 0.2]) * 0.5) / 2 + kd * dnl / 2
+        np.testing.assert_allclose(delta, expected, atol=0.02)
+
+    def test_gradients_flow_with_two_lights(self, two_light_scene):
+        scene = two_light_scene
+        cam = Camera.look_at((0, 3, 3), (0, 0, 0), vfov=45.0, aspect=1.0)
+
+        def loss(s):
+            return jnp.sum(render(s, cam, 16, 16, RenderConfig()) ** 2)
+
+        g = jax.grad(loss, allow_int=True)(scene)
+        gn = float(jnp.linalg.norm(g.triangles.kd))
+        assert np.isfinite(gn) and gn > 0

@@ -184,3 +184,37 @@ class TestAdamResume:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
             )
+
+
+class TestUVCarriedThrough:
+    def test_obj_uv_lands_in_triangle_buffer(self, tmp_path):
+        from esctp1raytracer_tpu.scene.objloader import load_obj
+
+        p = tmp_path / "uv.obj"
+        p.write_text(
+            "mtllib none.mtl\n"
+            "v 0 0 0\nv 1 0 0\nv 0 1 0\n"
+            "vt 0.1 0.2\nvt 0.9 0.2\nvt 0.1 0.8\n"
+            "f 1/1 2/2 3/3\n"
+        )
+        meshes = load_obj(str(p))
+        scene = scene_from_mesh(meshes)
+        tb = scene.triangles
+        assert bool(tb.has_uv[0])
+        np.testing.assert_allclose(np.asarray(tb.uv0[0]), [0.1, 0.2], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(tb.uv1[0]), [0.9, 0.2], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(tb.uv2[0]), [0.1, 0.8], atol=1e-7)
+        assert not bool(tb.has_uv[1])  # padding
+
+    def test_trace_level_prints_hit_summary(self, capfd):
+        from esctp1raytracer_tpu.utils import debug
+
+        scene = sphere_plane_scene()
+        cam = Camera.look_at((0, 2, 6), (0, 1, 0), aspect=1.0)
+        debug.set_level(debug.TRACE)
+        try:
+            jax.block_until_ready(render(scene, cam, 8, 8, RenderConfig()))
+        finally:
+            debug.set_level(debug.INFO)
+        out = capfd.readouterr()
+        assert "trace[bounce 0]: hits=" in out.out + out.err
