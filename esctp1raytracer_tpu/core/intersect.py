@@ -312,14 +312,20 @@ def argmin_hit(
     block_size: int = 512,
     use_mxu: bool = True,
     tri_search=None,
+    t_limit: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Find the winning primitive per ray: (best_t, prim_idx, is_sphere).
 
     Pure search — wrapped in stop_gradient by closest_hit. `tri_search` lets
-    a backend (e.g. the Pallas kernel) replace the triangle scan.
+    a backend (e.g. the Pallas kernel) replace the triangle scan. `t_limit`
+    (occlusion queries only) is a per-ray distance ceiling hint a backend
+    may use to cull work; passing it never changes which hits count — the
+    caller still compares best_t against its limit.
     """
     if tri_search is None:
         tri_t, tri_idx = _scan_blocks(o, d, scene.triangles, eps, block_size, use_mxu)
+    elif t_limit is not None:
+        tri_t, tri_idx = tri_search(o, d, scene.triangles, eps, t_limit=t_limit)
     else:
         tri_t, tri_idx = tri_search(o, d, scene.triangles, eps)
     sph_t, sph_idx = _sphere_best(o, d, scene.spheres, eps)
@@ -404,12 +410,16 @@ def any_hit(
     """Occlusion query: does any primitive block (eps, t_limit)?
 
     The reference's `occlusion` (src/main.cpp:314-329) is an early-exit
-    any-hit; on TPU the branch-free equivalent is closest-hit-then-compare.
+    any-hit; on TPU the branch-free equivalent is closest-hit-then-compare,
+    with the t-ceiling pushed into the backend's block culling (blocks
+    whose slab entry lies beyond the shadow segment are never tested).
     Non-differentiable (boolean output). Spheres occlude too — an extension
     over the reference, which has no spheres.
     """
+    t_limit = jax.lax.stop_gradient(t_limit)
     best_t, _, _ = argmin_hit(
         jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
         jax.lax.stop_gradient(scene), eps, block_size, use_mxu, tri_search,
+        t_limit=t_limit,
     )
-    return best_t < jax.lax.stop_gradient(t_limit)
+    return best_t < t_limit

@@ -147,7 +147,16 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
     lists — coherent neighbors mostly overlap), so the 13 triangle-constant
     tile loads per block amortize over the bundle's vector work, and the
     independent intersection streams give the VPU instruction-level
-    parallelism."""
+    parallelism.
+
+    Reduction layout (the round-1 kernel's bottleneck — three full-tile
+    scalar reductions per ray were ~60% of its cycles): each ray's (8, 128)
+    block result is folded over sublanes immediately (3 log-steps) into a
+    (1, 128) carry row; at bundle end the COHERENT rows stack into one tile
+    and a single cross-lane min-reduction finishes ALL the bundle's rays at
+    once. Results leave as transposed vector tiles [COHERENT, groups]
+    (lane = bundle id, static per unrolled bundle), never as per-ray SMEM
+    scalar writes."""
     eps = eps_ref[0]
     big = jnp.float32(BIG)
     lane_idx = (
@@ -158,7 +167,7 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
     num_groups = rays_ref.shape[2] // (8 * COHERENT)
     nb_max = ids_ref.shape[2] // num_groups
 
-    def group_body(g, _):
+    def group_body(g):
         rays = []
         for s in range(COHERENT):
             base = (g * COHERENT + s) * 8
@@ -184,7 +193,7 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
             out = []
             for s in range(COHERENT):
                 ox, oy, oz, dx, dy, dz = rays[s]
-                bt, bi = carry[2 * s], carry[2 * s + 1]
+                row_t, row_i = carry[2 * s], carry[2 * s + 1]
                 det = -(dx * nx + dy * ny + dz * nz)
                 ok_det = jnp.abs(det) >= eps
                 inv = 1.0 / jnp.where(ok_det, det, 1.0)
@@ -201,35 +210,42 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
                     & (t >= eps) & (vld > 0.0)
                 )
                 t = jnp.where(ok, t, big)
-                better = t < bt
-                out.append(jnp.where(better, t, bt))
-                out.append(jnp.where(better, idx_grid, bi))
+                # Sublane fold: per-lane min over the 8 sublanes; ties take
+                # the lowest sublane = lowest triangle index (lane_idx is
+                # sublane-major), preserving the first-wins rule.
+                blk_t = jnp.min(t, axis=0, keepdims=True)  # (1, 128)
+                cand = jnp.where(t == blk_t, idx_grid, _INT_BIG)
+                blk_i = jnp.min(cand, axis=0, keepdims=True)
+                # Strict < keeps the earlier (lower-index) block on ties.
+                better = blk_t < row_t
+                out.append(jnp.where(better, blk_t, row_t))
+                out.append(jnp.where(better, blk_i, row_i))
             return tuple(out)
 
         init = []
         for s in range(COHERENT):
-            init.append(jnp.full((8, 128), big, jnp.float32))
-            init.append(jnp.full((8, 128), NO_HIT, jnp.int32))
+            init.append(jnp.full((1, 128), big, jnp.float32))
+            init.append(jnp.full((1, 128), NO_HIT, jnp.int32))
         carry = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body, tuple(init))
 
-        for s in range(COHERENT):
-            bt, bi = carry[2 * s], carry[2 * s + 1]
-            # Reduce the (8, 128) partial minima: smallest t, and among
-            # equal t the smallest sorted index (ascending order = the
-            # reference's first-wins tie rule).
-            tmin = jnp.min(bt)
-            cand = jnp.where(bt == tmin, bi, _INT_BIG)
-            imin = jnp.min(cand)
-            i = g * COHERENT + s
-            t_ref[0, 0, i] = tmin
-            idx_ref[0, 0, i] = jnp.where(tmin < big, imin, NO_HIT)
-        return 0
+        # One cross-lane reduction for the whole bundle: row s = ray s.
+        T = jnp.concatenate([carry[2 * s] for s in range(COHERENT)], axis=0)
+        I = jnp.concatenate([carry[2 * s + 1] for s in range(COHERENT)], axis=0)
+        tmin = jnp.min(T, axis=1, keepdims=True)            # (COHERENT, 1)
+        cand = jnp.where(T == tmin, I, _INT_BIG)
+        imin = jnp.min(cand, axis=1, keepdims=True)
+        imin = jnp.where(tmin < big, imin, NO_HIT)
+        t_ref[0, :, g:g + 1] = tmin
+        idx_ref[0, :, g:g + 1] = imin
 
-    jax.lax.fori_loop(0, num_groups, group_body, 0)
+    # Python-unrolled so g is static: VMEM lane indices must be static
+    # (dynamic lane indexing is an SMEM-only privilege on Mosaic).
+    for g in range(num_groups):
+        group_body(g)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
+def _pallas_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False):
     r = o.shape[0]
     pad = (-r) % RAY_GROUP
     if pad:
@@ -237,6 +253,10 @@ def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
         d = jnp.concatenate(
             [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
         )
+        if t_limit is not None:
+            t_limit = jnp.concatenate(
+                [t_limit, jnp.full((pad,), -1.0, t_limit.dtype)]
+            )
     rp = r + pad
     nb = tc.shape[1]
 
@@ -244,7 +264,9 @@ def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
     # block AABBs and compact the hit blocks into an ascending per-ray
     # list. The kernel then loops exactly cnt[i] blocks per ray — culling
     # by loop bound, which the scalar unit honors unconditionally.
-    mask = block_cull_mask(o, d, aabbs)
+    # Occlusion queries additionally cull blocks entirely beyond their
+    # shadow-ray length via t_limit.
+    mask = block_cull_mask(o, d, aabbs, t_limit)
     # Bundle COHERENT adjacent rays: their union block list is shared
     # (camera-order neighbors mostly agree), amortizing per-block loads.
     gmask = jnp.any(mask.reshape(rp // COHERENT, COHERENT, nb), axis=1)
@@ -275,25 +297,33 @@ def _pallas_search(o, d, tc, aabbs, eps, interpret: bool = False):
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, RAY_GROUP), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, RAY_GROUP), lambda i, *_: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, COHERENT, groups_per_step),
+                             lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, COHERENT, groups_per_step),
+                             lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((grid, 1, RAY_GROUP), jnp.float32),
-            jax.ShapeDtypeStruct((grid, 1, RAY_GROUP), jnp.int32),
+            jax.ShapeDtypeStruct((grid, COHERENT, groups_per_step), jnp.float32),
+            jax.ShapeDtypeStruct((grid, COHERENT, groups_per_step), jnp.int32),
         ],
         interpret=interpret,
     )(eps, rays, ids, cnt, tc)
-    return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
+    # Kernel layout: element [step, s, g] = ray step*RAY_GROUP + g*COHERENT + s.
+    best_t = out[0].transpose(0, 2, 1).reshape(-1)[:r]
+    best_i = out[1].transpose(0, 2, 1).reshape(-1)[:r]
+    return best_t, best_i
 
 
-def pallas_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps):
+def pallas_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
+                      t_limit: jax.Array = None):
     """tri_search hook for closest_hit/any_hit (see core/intersect.py).
 
-    Returns (best_t [R], best original-triangle index [R]).
+    Returns (best_t [R], best original-triangle index [R]). `t_limit` [R]
+    (occlusion queries) tightens the block culling: blocks entirely beyond
+    the shadow-ray segment are never tested.
     """
     n = tris.capacity
     if n > VMEM_TRI_LIMIT:
@@ -304,7 +334,8 @@ def pallas_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps):
     tc, aabbs, perm = tri_constants_blocked(tris)
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
-    best_t, sorted_idx = _pallas_search(o, d, tc, aabbs, eps_arr, interpret)
+    best_t, sorted_idx = _pallas_search(o, d, tc, aabbs, eps_arr, t_limit,
+                                        interpret)
     # Map sorted positions back to original triangle indices.
     safe = jnp.maximum(sorted_idx, 0)
     orig = jnp.take(perm, safe)

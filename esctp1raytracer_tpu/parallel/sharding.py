@@ -64,7 +64,9 @@ def _prim_sharded_search(cfg: RenderConfig, axis: str):
     because ties resolve to the lowest triangle index on both levels.
     """
 
-    def search(o, d, tris, eps):
+    def search(o, d, tris, eps, t_limit=None):
+        # t_limit is a cull hint (see argmin_hit); the blockwise scan has
+        # no per-block cull list, so it is unused here.
         n_shards = jax.lax.axis_size(axis)
         my = jax.lax.axis_index(axis)
         cap = tris.capacity
