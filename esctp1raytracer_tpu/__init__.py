@@ -37,6 +37,9 @@ from esctp1raytracer_tpu.scene.objloader import load_obj
 from esctp1raytracer_tpu.scene.builders import (
     scene_from_mesh,
     cornell_box,
+    cornell_variant,
+    water_surface_mesh,
+    write_obj,
     sphere_plane_scene,
     ten_sphere_scene,
     mixed_scene,
@@ -46,7 +49,7 @@ from esctp1raytracer_tpu.core.camera import Camera
 from esctp1raytracer_tpu.core.render import render, RenderConfig
 from esctp1raytracer_tpu.io.ppm import write_ppm, read_ppm
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Scene",
@@ -57,6 +60,9 @@ __all__ = [
     "load_obj",
     "scene_from_mesh",
     "cornell_box",
+    "cornell_variant",
+    "water_surface_mesh",
+    "write_obj",
     "sphere_plane_scene",
     "ten_sphere_scene",
     "mixed_scene",

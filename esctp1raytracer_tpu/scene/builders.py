@@ -295,6 +295,160 @@ def write_cornell_obj(obj_path: str, mtl_path: Optional[str] = None) -> None:
             fh.write("f -4 -3 -2 -1\n")
 
 
+# --- Cornell variants (procedural equivalents of the reference's 10
+# --- model files, src/models/cornell/) ------------------------------------
+
+_MIRROR_MATERIAL = Material.make(  # CornellBox-Mirror.mtl tallBox
+    ka=(0.01, 0.01, 0.01), kd=(0.01, 0.01, 0.01), ks=(0.95, 0.95, 0.95),
+    ns=1000.0)
+_GLOSSY_MATERIAL = Material.make(  # CornellBox-Glossy.mtl shortBox
+    ka=(0.525, 0.51, 0.48), kd=(0.525, 0.51, 0.48), ks=(0.8, 0.8, 0.8),
+    ns=40.0)
+_WATER_MATERIAL = Material.make(  # CornellBox-Water.mtl water
+    ka=(0.01, 0.01, 0.01), kd=(0.30, 0.30, 0.70), ks=(0.01, 0.01, 0.01),
+    ns=200.0)
+_LEFT_SPHERE_MATERIAL = Material.make(  # CornellBox-Sphere.mtl leftSphere
+    ka=(0.01, 0.01, 0.01), kd=(0.01, 0.01, 0.01), ks=(0.95, 0.95, 0.95),
+    ns=1024.0)
+_RIGHT_SPHERE_MATERIAL = Material.make(  # CornellBox-Sphere.mtl rightSphere
+    ka=(0.01, 0.01, 0.01), kd=(0.30, 0.30, 0.30), ks=(0.01, 0.01, 0.01),
+    ns=1024.0)
+
+
+def _cornell_shell(material_overrides=None, drop_groups=()) -> List[MeshData]:
+    """Cornell meshes (clean grouping) with per-group material swaps."""
+    overrides = material_overrides or {}
+    groups = {}
+    order = []
+    for name, quad in _CORNELL_QUADS:
+        if name in drop_groups:
+            continue
+        groups.setdefault(name, []).append(quad)
+        if name not in order:
+            order.append(name)
+    out = []
+    for name in order:
+        tris = []
+        for q in groups[name]:
+            qa = np.asarray(q, np.float32)
+            tris.append(qa[[0, 1, 2]])
+            tris.append(qa[[0, 2, 3]])
+        out.append(MeshData(name=name, vertices=np.stack(tris), normals=None,
+                            uv=None,
+                            material=overrides.get(name, _CORNELL_MATERIALS[name])))
+    return out
+
+
+def water_surface_mesh(n: int = 64, amplitude: float = 0.05, y: float = 0.35,
+                       extent: float = 0.99,
+                       material: Optional[Material] = None) -> MeshData:
+    """A sine-wave water heightfield with analytic smooth normals — the
+    dense-mesh role of the reference's water surface (CornellBox-Water.obj
+    'g water', 2x64x64-class tessellation)."""
+    mat = material or _WATER_MATERIAL
+    xs = np.linspace(-extent, extent, n + 1, dtype=np.float32)
+    zs = np.linspace(-extent, extent, n + 1, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    kx, kz = np.float32(2.5 * np.pi), np.float32(2.0 * np.pi)
+    Y = y + amplitude * np.sin(kx * X) * np.cos(kz * Z)
+    # analytic gradient -> smooth normals
+    dYdx = amplitude * kx * np.cos(kx * X) * np.cos(kz * Z)
+    dYdz = -amplitude * kz * np.sin(kx * X) * np.sin(kz * Z)
+    P = np.stack([X, Y, Z], axis=-1).astype(np.float32)  # [n+1, n+1, 3]
+    N = np.stack([-dYdx, np.ones_like(Y), -dYdz], axis=-1)
+    N = (N / np.linalg.norm(N, axis=-1, keepdims=True)).astype(np.float32)
+
+    def corners(A):
+        a = A[:-1, :-1]
+        b = A[1:, :-1]
+        c = A[1:, 1:]
+        d = A[:-1, 1:]
+        t1 = np.stack([a, b, c], axis=2)
+        t2 = np.stack([a, c, d], axis=2)
+        return np.concatenate([t1, t2], axis=2).reshape(-1, 3, A.shape[-1])
+
+    verts = corners(P)
+    norms = corners(N)
+    return MeshData(name="water", vertices=verts, normals=norms, uv=None,
+                    material=mat)
+
+
+def cornell_variant(name: str = "original") -> Scene:
+    """Procedural equivalents of the reference's Cornell model variants.
+
+    original | mirror (tallBox -> 0.95 specular, Ns 1000) |
+    glossy (shortBox -> 0.8 specular, Ns 40) |
+    sphere (boxes -> two analytic spheres, mirror-left/diffuse-right) |
+    water (boxes -> dense sine heightfield with the water material).
+    Materials match the reference .mtl files (src/models/cornell/*.mtl);
+    sphere placement matches the leftSphere bounds of CornellBox-Sphere.obj.
+    """
+    if name == "original":
+        return cornell_box()
+    if name == "mirror":
+        return scene_from_mesh(_cornell_shell({"tallBox": _MIRROR_MATERIAL}))
+    if name == "glossy":
+        return scene_from_mesh(_cornell_shell({"shortBox": _GLOSSY_MATERIAL}))
+    if name == "sphere":
+        spheres = make_spheres(
+            centers=[(0.446, 0.332, 0.377), (-0.42, 0.33, -0.3)],
+            radii=[0.325, 0.325],
+            materials=[_LEFT_SPHERE_MATERIAL, _RIGHT_SPHERE_MATERIAL],
+        )
+        meshes = _cornell_shell(drop_groups=("shortBox", "tallBox"))
+        return scene_from_mesh(meshes, spheres=spheres)
+    if name == "water":
+        meshes = _cornell_shell(drop_groups=("shortBox", "tallBox"))
+        meshes.append(water_surface_mesh())
+        return scene_from_mesh(meshes)
+    raise ValueError(
+        f"unknown cornell variant {name!r}; "
+        "expected original|mirror|glossy|sphere|water"
+    )
+
+
+def write_obj(obj_path: str, meshes: Sequence[MeshData],
+              mtl_path: Optional[str] = None) -> None:
+    """Serialize meshes as OBJ+MTL (de-indexed corners, optional normals).
+
+    The general-purpose exporter counterpart of the loaders — used to
+    exercise the OBJ pipeline on mesh-scale assets (the role of the
+    reference's shipped water.obj / CornellBox-Sphere.obj files)."""
+    import os
+
+    if mtl_path is None:
+        mtl_path = os.path.splitext(obj_path)[0] + ".mtl"
+    with open(mtl_path, "w") as fh:
+        for i, mesh in enumerate(meshes):
+            m = mesh.material
+            fh.write(f"newmtl m{i}_{mesh.name}\n")
+            fh.write(f"  Ns {m.ns}\n")
+            fh.write(f"  Ka {m.ka[0]} {m.ka[1]} {m.ka[2]}\n")
+            fh.write(f"  Kd {m.kd[0]} {m.kd[1]} {m.kd[2]}\n")
+            fh.write(f"  Ks {m.ks[0]} {m.ks[1]} {m.ks[2]}\n")
+            fh.write(f"  Ke {m.ke[0]} {m.ke[1]} {m.ke[2]}\n\n")
+    with open(obj_path, "w") as fh:
+        fh.write(f"mtllib {os.path.basename(mtl_path)}\n")
+        v_base = 1  # OBJ indices are 1-based and global across groups
+        n_base = 1
+        for i, mesh in enumerate(meshes):
+            fh.write(f"g {mesh.name}_{i}\nusemtl m{i}_{mesh.name}\n")
+            for x, y, z in mesh.vertices.reshape(-1, 3):
+                fh.write(f"v {x} {y} {z}\n")
+            if mesh.normals is not None:
+                for x, y, z in mesh.normals.reshape(-1, 3):
+                    fh.write(f"vn {x} {y} {z}\n")
+                for f in range(mesh.num_faces):
+                    a, b = v_base + 3 * f, n_base + 3 * f
+                    fh.write(f"f {a}//{b} {a+1}//{b+1} {a+2}//{b+2}\n")
+                n_base += 3 * mesh.num_faces
+            else:
+                for f in range(mesh.num_faces):
+                    a = v_base + 3 * f
+                    fh.write(f"f {a} {a+1} {a+2}\n")
+            v_base += 3 * mesh.num_faces
+
+
 # --- BASELINE.json procedural configs -------------------------------------
 
 def _ground_plane(y: float = 0.0, half: float = 50.0,
