@@ -98,6 +98,88 @@ def _prim_sharded_search(cfg: RenderConfig, axis: str):
     return search
 
 
+_JIT_CACHE = {}
+
+
+def _mesh_key(mesh: Mesh):
+    return (
+        tuple(int(dev.id) for dev in mesh.devices.flat),
+        tuple(mesh.devices.shape),
+        tuple(mesh.axis_names),
+    )
+
+
+def _cached_sharded_trace(mesh: Mesh, cfg: RenderConfig):
+    """One jitted shard_map executable per (mesh, cfg).
+
+    Defining + jitting the shard_map inside every render call re-traced
+    the whole program each frame — the round-1 reason `sharded` was 7x
+    slower than plain jit on one device. The executable is keyed on the
+    mesh's device ids/shape and the (hashable) RenderConfig and reused."""
+    key = ("trace", _mesh_key(mesh), cfg)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        use_prims = mesh.shape[PRIMS_AXIS] > 1
+        tri_search = _prim_sharded_search(cfg, PRIMS_AXIS) if use_prims else None
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS), P()),
+            out_specs=P(RAYS_AXIS),
+            check_vma=False,
+        )
+        def go(o_s, d_s, ids_s, scene_s):
+            return trace_rays(o_s, d_s, scene_s, ids_s, cfg, tri_search=tri_search)
+
+        _JIT_CACHE[key] = fn = go
+    return fn
+
+
+def _cached_sharded_grad(mesh: Mesh, cfg: RenderConfig):
+    """Jitted sharded loss+grad executable per (mesh, cfg); see above."""
+    key = ("grad", _mesh_key(mesh), cfg)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        use_prims = mesh.shape[PRIMS_AXIS] > 1
+        tri_search = _prim_sharded_search(cfg, PRIMS_AXIS) if use_prims else None
+
+        @jax.jit
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS),
+                      P(RAYS_AXIS), P(RAYS_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def go(params_s, o_s, d_s, ids_s, tgt_s, live_s, inv_n, scene_s):
+            def local_loss(ps):
+                sc = merge_params(scene_s, ps)
+                color = trace_rays(o_s, d_s, sc, ids_s, cfg,
+                                   tri_search=tri_search)
+                err = jnp.where(live_s[:, None], color - tgt_s, 0.0)
+                return jnp.sum(err * err) * inv_n
+
+            loss, grads = jax.value_and_grad(local_loss)(params_s)
+            # All-reduce across BOTH axes: ray shards sum partial
+            # losses/grads; prim shards computed redundant shading, so
+            # average over that axis.
+            loss = jax.lax.psum(loss, RAYS_AXIS)
+            grads = jax.lax.psum(grads, RAYS_AXIS)
+            if use_prims:
+                scale = 1.0 / mesh.shape[PRIMS_AXIS]
+                loss = jax.lax.psum(loss, PRIMS_AXIS) * scale
+                grads = jax.tree.map(
+                    lambda g: jax.lax.psum(g, PRIMS_AXIS) * scale, grads
+                )
+            return loss, grads
+
+        _JIT_CACHE[key] = fn = go
+    return fn
+
+
 def _pad_rays(o, d, ids, multiple: int):
     r = o.shape[0]
     pad = (-r) % multiple
@@ -128,22 +210,7 @@ def render_sharded(
     n_rays_axis = mesh.shape[RAYS_AXIS]
     o, d, ids, r = _pad_rays(o, d, ids, n_rays_axis)
 
-    use_prims = mesh.shape[PRIMS_AXIS] > 1
-    tri_search = _prim_sharded_search(cfg, PRIMS_AXIS) if use_prims else None
-
-    @jax.jit  # without jit the shard_map executes op-by-op (catastrophic
-    # through a remote-dispatch tunnel: measured 110x slower)
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS), P()),
-        out_specs=P(RAYS_AXIS),
-        check_vma=False,
-    )
-    def go(o_s, d_s, ids_s, scene_s):
-        return trace_rays(o_s, d_s, scene_s, ids_s, cfg, tri_search=tri_search)
-
-    color = go(o, d, ids, scene)
+    color = _cached_sharded_trace(mesh, cfg)(o, d, ids, scene)
     return color[:r].reshape(height, width, 3)
 
 
@@ -197,42 +264,11 @@ def loss_and_grad_sharded(
     else:
         live = jnp.ones((r,), bool)
 
-    use_prims = mesh.shape[PRIMS_AXIS] > 1
-    tri_search = _prim_sharded_search(cfg, PRIMS_AXIS) if use_prims else None
-    inv_n = 1.0 / float(r * 3)
-
     params = float_params(scene)
-
-    @jax.jit  # see render_sharded: eager shard_map dispatches op-by-op
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS),
-                  P(RAYS_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
+    inv_n = jnp.float32(1.0 / float(r * 3))
+    return _cached_sharded_grad(mesh, cfg)(
+        params, o, d, ids, tgt, live, inv_n, scene
     )
-    def go(params_s, o_s, d_s, ids_s, tgt_s, live_s, scene_s):
-        def local_loss(ps):
-            sc = merge_params(scene_s, ps)
-            color = trace_rays(o_s, d_s, sc, ids_s, cfg, tri_search=tri_search)
-            err = jnp.where(live_s[:, None], color - tgt_s, 0.0)
-            return jnp.sum(err * err) * inv_n
-
-        loss, grads = jax.value_and_grad(local_loss)(params_s)
-        # All-reduce across BOTH axes: ray shards sum partial losses/grads;
-        # prim shards computed redundant shading, so average over that axis.
-        loss = jax.lax.psum(loss, RAYS_AXIS)
-        grads = jax.lax.psum(grads, RAYS_AXIS)
-        if use_prims:
-            scale = 1.0 / mesh.shape[PRIMS_AXIS]
-            loss = jax.lax.psum(loss, PRIMS_AXIS) * scale
-            grads = jax.tree.map(
-                lambda g: jax.lax.psum(g, PRIMS_AXIS) * scale, grads
-            )
-        return loss, grads
-
-    return go(params, o, d, ids, tgt, live, scene)
 
 
 def train_step_sharded(

@@ -1,0 +1,86 @@
+"""Sharded-render throughput scaling on a virtual CPU device mesh.
+
+Measures render_sharded rays/s at 1/2/4/8 devices (XLA's
+host-platform-device-count trick) plus the unsharded single-device
+baseline, validating that the shard_map path adds no per-frame overhead
+(the round-1 bug: per-call re-tracing made 'sharded' 7x slower than jit).
+
+Virtual CPU devices share one host's cores, so absolute scaling here
+reflects dispatch/partition overhead, not ICI bandwidth — the number that
+must hold on real hardware is `sharded(1) ~= jit(1)` and flat ms/frame as
+devices increase with the workload fixed per device (weak scaling).
+
+Usage (writes SCALING.md):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/bench_scaling.py
+"""
+
+import os
+import sys
+import time
+
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8").strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+import numpy as np
+
+from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box
+from esctp1raytracer_tpu.parallel import make_mesh, render_sharded
+from esctp1raytracer_tpu.core.render import render
+
+W, H = 512, 384
+
+
+def timed(fn, iters=3):
+    jax.block_until_ready(fn())
+    jax.block_until_ready(fn())
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.time() - t0) / iters
+
+
+def main():
+    scene = cornell_box()
+    cam = Camera.look_at((0, 1, 2), (0, 1, 0), vfov=60.0, aspect=W / H)
+    cfg = RenderConfig(backend="mxu", ray_chunk=0)
+    rows = []
+
+    dt = timed(lambda: render(scene, cam, W, H, cfg))
+    base = W * H / dt
+    rows.append(("jit (unsharded)", 1, dt * 1e3, base / 1e6, 1.0))
+    print(f"jit 1dev: {dt*1e3:.1f} ms", flush=True)
+
+    for n in (1, 2, 4, 8):
+        if jax.device_count() < n:
+            break
+        mesh = make_mesh(jax.devices()[:n])
+        dt = timed(lambda: render_sharded(scene, cam, W, H, cfg, mesh))
+        rate = W * H / dt
+        rows.append((f"sharded rays={n}", n, dt * 1e3, rate / 1e6, rate / base))
+        print(f"sharded {n}dev: {dt*1e3:.1f} ms ({rate/base:.2f}x jit)", flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "SCALING.md")
+    with open(out, "w") as fh:
+        fh.write("# Sharded-render scaling (virtual CPU mesh)\n\n")
+        fh.write(f"Cornell {W}x{H}, backend mxu, `scripts/bench_scaling.py` "
+                 "on an 8-virtual-device CPU host (shared cores — overhead "
+                 "check, not an ICI measurement; see script docstring).\n\n")
+        fh.write("| Mode | Devices | ms/frame | Mrays/s | vs 1-dev jit |\n")
+        fh.write("|---|---|---|---|---|\n")
+        for name, n, ms, mrays, ratio in rows:
+            fh.write(f"| {name} | {n} | {ms:.1f} | {mrays:.2f} | {ratio:.2f}x |\n")
+    print(f"wrote {out}", flush=True)
+    ok = rows[1][4] >= 0.6  # sharded(1) within 1.7x of jit(1)
+    print("PASS" if ok else "FAIL: sharded(1) slower than 1.7x jit(1)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
