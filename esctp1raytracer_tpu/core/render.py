@@ -69,10 +69,12 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
     """
     backend = cfg.backend
     if backend == "auto":
-        from esctp1raytracer_tpu.kernels.hit_pallas import VMEM_TRI_LIMIT
-
         n = scene.triangles.capacity if scene is not None else 0
-        backend = "pallas" if 4096 <= n <= VMEM_TRI_LIMIT else "mxu"
+        # The Pallas kernel's per-ray floor loses to the MXU matmul only on
+        # tiny tables; beyond VMEM capacity it slices the sorted table into
+        # resident segments (hit_pallas.pallas_tri_search), so there is no
+        # upper cutoff anymore.
+        backend = "pallas" if n >= 4096 else "mxu"
     if backend == "pallas":
         from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
 

@@ -76,7 +76,13 @@ def tri_constants_blocked(tris: TriangleBuffer):
         perm = jnp.concatenate(
             [perm, jnp.full((pad,), NO_HIT, jnp.int32)]
         )
-    npad = n + pad
+    return _pack_constants(sorted_tris, perm)
+
+
+def _pack_constants(sorted_tris: TriangleBuffer, perm: jax.Array):
+    """Pack an (already cluster-sorted, BLOCK-padded) table into kernel
+    constants: (tc [16, NB, 8, 128], block_aabbs [8, NB], perm)."""
+    npad = sorted_tris.capacity
 
     e1 = sorted_tris.v1 - sorted_tris.v0
     e2 = sorted_tris.v2 - sorted_tris.v0
@@ -324,22 +330,52 @@ def pallas_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     Returns (best_t [R], best original-triangle index [R]). `t_limit` [R]
     (occlusion queries) tightens the block culling: blocks entirely beyond
     the shadow-ray segment are never tested.
+
+    Tables beyond the VMEM-resident capacity (VMEM_TRI_LIMIT) are Morton-
+    sorted once, sliced into resident-sized spatial segments, swept
+    per-segment (each sweep keeps its full per-bundle block culling), and
+    min-combined — the HBM-scale path replacing round 1's hard error.
     """
-    n = tris.capacity
-    if n > VMEM_TRI_LIMIT:
-        raise ValueError(
-            f"pallas backend supports up to {VMEM_TRI_LIMIT} triangles "
-            f"(VMEM-resident table); got {n}. Use backend='mxu'."
-        )
-    tc, aabbs, perm = tri_constants_blocked(tris)
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
-    best_t, sorted_idx = _pallas_search(o, d, tc, aabbs, eps_arr, t_limit,
-                                        interpret)
-    # Map sorted positions back to original triangle indices.
-    safe = jnp.maximum(sorted_idx, 0)
-    orig = jnp.take(perm, safe)
-    return best_t, jnp.where(sorted_idx >= 0, orig, NO_HIT)
+    if tris.capacity <= VMEM_TRI_LIMIT:
+        tc, aabbs, perm = tri_constants_blocked(tris)
+        best_t, sorted_idx = _pallas_search(o, d, tc, aabbs, eps_arr, t_limit,
+                                            interpret)
+        safe = jnp.maximum(sorted_idx, 0)
+        orig = jnp.take(perm, safe)
+        return best_t, jnp.where(sorted_idx >= 0, orig, NO_HIT)
+
+    # --- sliced sweep over a spatially-sorted table -----------------------
+    clustered = build_clusters(tris)
+    sorted_tris, perm = clustered.tris, clustered.perm
+    seg = VMEM_TRI_LIMIT - (VMEM_TRI_LIMIT % BLOCK)
+    nseg = -(-tris.capacity // seg)
+    pad = nseg * seg - tris.capacity
+    if pad:
+        filler = TriangleBuffer.empty(pad)
+        sorted_tris = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), sorted_tris, filler
+        )
+        perm = jnp.concatenate([perm, jnp.full((pad,), NO_HIT, jnp.int32)])
+
+    r = o.shape[0]
+    best_t = jnp.full((r,), BIG, jnp.float32)
+    best_i = jnp.full((r,), NO_HIT, jnp.int32)
+    for k in range(nseg):
+        sl = jax.tree.map(lambda a: a[k * seg:(k + 1) * seg], sorted_tris)
+        perm_k = perm[k * seg:(k + 1) * seg]
+        tc, aabbs, _ = _pack_constants(sl, perm_k)
+        t_k, idx_k = _pallas_search(o, d, tc, aabbs, eps_arr, t_limit,
+                                    interpret)
+        orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
+        orig_k = jnp.where(idx_k >= 0, orig_k, NO_HIT)
+        # Strict <: the earlier (lower-sorted-index) segment wins ties,
+        # matching the single-sweep first-wins rule.
+        better = t_k < best_t
+        best_t = jnp.where(better, t_k, best_t)
+        best_i = jnp.where(better, orig_k, best_i)
+    return best_t, best_i
 
 
 def _kernel_dims_for_tests():

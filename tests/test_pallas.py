@@ -58,18 +58,21 @@ class TestKernel:
         assert t.shape == (561,)
         assert (np.asarray(p) < 36).all()
 
-    def test_capacity_limit_raises(self, cornell):
-        import dataclasses
+    def test_beyond_vmem_capacity_slices_and_matches(self, cornell, monkeypatch):
+        """Tables over the VMEM cap sweep in spatial segments and must be
+        result-identical to the single resident sweep (incl. tie rule)."""
+        from esctp1raytracer_tpu.kernels import hit_pallas
+        from esctp1raytracer_tpu.scene.builders import mesh_scene
 
-        big = dataclasses.replace(
-            cornell.triangles,
-            v0=jnp.zeros((VMEM_TRI_LIMIT + 512, 3), jnp.float32),
-        )
-        # capacity comes from v0's leading dim
-        o = jnp.zeros((8, 3))
-        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
-        with pytest.raises(ValueError):
-            pallas_tri_search(o, d, big, EPS)
+        scene = mesh_scene(subdivisions=3)  # 1282 tris -> capacity 2048
+        o, d = CAM.ray_grid(32, 32)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t_ref, p_ref = pallas_tri_search(o, d, scene.triangles, EPS)
+        monkeypatch.setattr(hit_pallas, "VMEM_TRI_LIMIT", 1024)
+        t_sl, p_sl = pallas_tri_search(o, d, scene.triangles, EPS)
+        np.testing.assert_array_equal(np.asarray(p_sl), np.asarray(p_ref))
+        np.testing.assert_allclose(np.asarray(t_sl), np.asarray(t_ref),
+                                   rtol=0, atol=0)
 
     def test_tri_constants_shape_and_degenerates(self, cornell):
         tc, aabbs, perm = tri_constants_blocked(cornell.triangles)
