@@ -362,11 +362,12 @@ def closest_hit(
     )
     safe_prim = jnp.maximum(prim, 0)
 
-    tri = jax.tree.map(
-        lambda a: jnp.take(a, safe_prim, axis=0),
-        (scene.triangles.v0, scene.triangles.v1, scene.triangles.v2),
-    )
-    t_tri, u_tri, v_tri, _ = mt_intersect(o, d, *tri, eps)
+    # One packed gather (one scatter-add in the VJP) instead of three.
+    tri_packed = jnp.concatenate(
+        [scene.triangles.v0, scene.triangles.v1, scene.triangles.v2], axis=1)
+    trow = jnp.take(tri_packed, safe_prim, axis=0)  # [R, 9]
+    t_tri, u_tri, v_tri, _ = mt_intersect(
+        o, d, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], eps)
     # Borderline winners can be accepted by the (differently-rounded)
     # backend search yet rejected by this recompute; fall back to the
     # search's own t (already non-differentiable) instead of leaving the
@@ -379,8 +380,10 @@ def closest_hit(
     # can poison gradients via inf * 0.
     is_s = is_sphere
     sphere_prim = jnp.where(is_s, safe_prim, 0)
-    c = jnp.take(scene.spheres.center, sphere_prim, axis=0)
-    r = jnp.take(scene.spheres.radius, sphere_prim, axis=0)
+    sph_packed = jnp.concatenate(
+        [scene.spheres.center, scene.spheres.radius[:, None]], axis=1)
+    srow = jnp.take(sph_packed, sphere_prim, axis=0)  # [R, 4]
+    c, r = srow[:, 0:3], srow[:, 3]
     m = is_s[:, None]
     o_s = jnp.where(m, o, jnp.asarray([0.0, 0.0, 3.0], o.dtype))
     d_s = jnp.where(m, d, jnp.asarray([0.0, 0.0, -1.0], d.dtype))

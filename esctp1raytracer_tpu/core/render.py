@@ -48,7 +48,7 @@ class RenderConfig:
     shadow_eps: float = 1e-4
     block_size: int = 512
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
-    backend: str = "jnp"  # "jnp" | "mxu" | "pallas" | "auto"
+    backend: str = "jnp"  # "jnp" | "mxu" | "pallas" | "lane" | "auto"
     seed: int = 0
     # "area" = corrected ISPC-style area-light sampling;
     # "reference_cpp" = bit-faithful reproduction of the C++ path's
@@ -70,11 +70,17 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
     backend = cfg.backend
     if backend == "auto":
         n = scene.triangles.capacity if scene is not None else 0
-        # The Pallas kernel's per-ray floor loses to the MXU matmul only on
-        # tiny tables; beyond VMEM capacity it slices the sorted table into
-        # resident segments (hit_pallas.pallas_tri_search), so there is no
-        # upper cutoff anymore.
-        backend = "pallas" if n >= 4096 else "mxu"
+        # Small tables: the ray-lane brute-force kernel (every VPU lane a
+        # ray, scalar loop over triangles) — its cost scales with N and
+        # beats both the bundle kernel's per-ray floor and the MXU path's
+        # [R, N] HBM intermediates. Large tables: the culled bundle kernel
+        # (beyond VMEM capacity it slices the sorted table into resident
+        # segments), so there is no upper cutoff.
+        backend = "lane" if n < 4096 else "pallas"
+    if backend == "lane":
+        from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
+
+        return lane_tri_search, True
     if backend == "pallas":
         from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
 

@@ -63,16 +63,22 @@ def surface_attributes(
     safe_prim = jnp.maximum(hit.prim, 0)
     tris, sph = scene.triangles, scene.spheres
 
-    tv0 = jnp.take(tris.v0, safe_prim, axis=0)
-    tv1 = jnp.take(tris.v1, safe_prim, axis=0)
-    tv2 = jnp.take(tris.v2, safe_prim, axis=0)
+    # ONE packed gather per table: each jnp.take's VJP is a scatter-add of
+    # R updates into the table, and the backward pass was scatter-bound
+    # with a take per field. Packing [N, 34] -> one gather, one scatter
+    # (the pack/unpack concat+slices are bandwidth-trivial by comparison).
+    tri_packed = jnp.concatenate(
+        [tris.v0, tris.v1, tris.v2, tris.n0, tris.n1, tris.n2,
+         tris.ka, tris.kd, tris.ks, tris.ke, tris.ns[:, None],
+         tris.has_normals[:, None].astype(jnp.float32)], axis=1)  # [N, 32]
+    trow = jnp.take(tri_packed, safe_prim, axis=0)  # [R, 32]
+    tv0, tv1, tv2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
+    n0, n1, n2 = trow[:, 9:12], trow[:, 12:15], trow[:, 15:18]
+
     n_geom = _normalize(jnp.cross(tv1 - tv0, tv2 - tv0))
-    n0 = jnp.take(tris.n0, safe_prim, axis=0)
-    n1 = jnp.take(tris.n1, safe_prim, axis=0)
-    n2 = jnp.take(tris.n2, safe_prim, axis=0)
     u, v = hit.u[:, None], hit.v[:, None]
     n_smooth = _normalize(n1 * u + n2 * v + n0 * (1.0 - u - v))
-    has_n = jnp.take(tris.has_normals, safe_prim, axis=0)[:, None]
+    has_n = trow[:, 31:32] > 0.5
     n_tri = jnp.where(has_n, n_smooth, n_geom)
 
     # Reference back-off: hit = origin + dir * (t - eps) (src/main.cpp:763).
@@ -85,25 +91,26 @@ def surface_attributes(
     # radius-0 spheres, turning the zero cotangent into 0/0 = NaN.
     is_s = hit.is_sphere[:, None]
     sphere_prim = jnp.where(hit.is_sphere, safe_prim, 0)
-    center = jnp.take(sph.center, sphere_prim, axis=0)
-    radius = jnp.take(sph.radius, sphere_prim, axis=0)
+    sph_packed = jnp.concatenate(
+        [sph.center, sph.radius[:, None], sph.ka, sph.kd, sph.ks, sph.ke,
+         sph.ns[:, None]], axis=1)  # [M, 17]
+    srow = jnp.take(sph_packed, sphere_prim, axis=0)  # [R, 17]
+    center, radius = srow[:, 0:3], srow[:, 3]
     r_safe = jnp.where(hit.is_sphere, jnp.maximum(radius, 1e-6), 1.0)
     n_sph = (jnp.where(is_s, hit_p - center, 0.0)) / r_safe[:, None]
 
     normal = jnp.where(is_s, n_sph, n_tri)
 
-    def pick(tri_field, sph_field):
-        a = jnp.take(tri_field, safe_prim, axis=0)
-        b = jnp.take(sph_field, safe_prim, axis=0)
-        cond = is_s if a.ndim == 2 else hit.is_sphere
-        return jnp.where(cond, b, a)
+    def pick(tri_vals, sph_vals):
+        cond = is_s if tri_vals.ndim == 2 else hit.is_sphere
+        return jnp.where(cond, sph_vals, tri_vals)
 
     mat = {
-        "ka": pick(tris.ka, sph.ka),
-        "kd": pick(tris.kd, sph.kd),
-        "ks": pick(tris.ks, sph.ks),
-        "ke": pick(tris.ke, sph.ke),
-        "ns": pick(tris.ns, sph.ns),
+        "ka": pick(trow[:, 18:21], srow[:, 4:7]),
+        "kd": pick(trow[:, 21:24], srow[:, 7:10]),
+        "ks": pick(trow[:, 24:27], srow[:, 10:13]),
+        "ke": pick(trow[:, 27:30], srow[:, 13:16]),
+        "ns": pick(trow[:, 30], srow[:, 16]),
     }
     mask = hit.hit[:, None]
     hit_p = jnp.where(mask, hit_p, 0.0)
@@ -168,9 +175,10 @@ def sample_lights(
         p = jnp.where(corner == 0, c0, jnp.where(corner == 1, c1, c2))
         return p, tri, L
 
-    v0 = jnp.take(scene.triangles.v0, tri, axis=0)  # [R, L, 3]
-    v1 = jnp.take(scene.triangles.v1, tri, axis=0)
-    v2 = jnp.take(scene.triangles.v2, tri, axis=0)
+    light_packed = jnp.concatenate(
+        [scene.triangles.v0, scene.triangles.v1, scene.triangles.v2], axis=1)
+    rows = jnp.take(light_packed, tri, axis=0)  # [R, L, 9]
+    v0, v1, v2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
     p = v0 + (v1 - v0) * r1 + (v2 - v0) * r2
     return p, tri, L
 

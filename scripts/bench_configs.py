@@ -45,7 +45,8 @@ CONFIGS = [
 def run_config(name, make_scene, eye, width, height, depth, backward=True):
     scene = make_scene()
     cam = Camera.look_at(eye, (0, 1, 0), vfov=60.0, aspect=width / height)
-    cfg = RenderConfig(backend="mxu", depth=depth, ray_chunk=131072)
+    backend = os.environ.get("ESCTP_BENCH_BACKEND", "auto")
+    cfg = RenderConfig(backend=backend, depth=depth, ray_chunk=131072)
     o, d = cam.ray_grid(width, height)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
@@ -55,9 +56,12 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
     # A single device execution of ~8e11 ray-triangle pairs dies with a
     # TPU-device error (suspected execution watchdog in the remote
     # terminal; 4K x cornell and 1080p x 100k each run fine). Split giant
-    # workloads into host-level slices of bounded pair count.
+    # workloads into host-level slices: cap brute-force pair count (mxu)
+    # and raw ray count (the culled pallas path) at known-good sizes.
     slices = 1
-    while (rays // slices) * scene.num_triangles > 3e11:
+    while ((rays // slices) > 2_200_000
+           or (backend == "mxu"
+               and (rays // slices) * scene.num_triangles > 3e11)):
         slices *= 2
     o_s = o.reshape(slices, -1, 3)
     d_s = d.reshape(slices, -1, 3)
@@ -87,9 +91,16 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
         "forward_rays_per_s": round(rays / dt_f, 1),
     }
     if backward:
-        bwd = jax.jit(jax.grad(lambda ps: jnp.sum(
-            trace_rays(o, d, merge_params(scene, ps), ids, cfg))))
-        bwd(params)
+        bwd_one = jax.jit(jax.grad(lambda ps, oo, dd, ii: jnp.sum(
+            trace_rays(oo, dd, merge_params(scene, ps), ii, cfg))))
+
+        def bwd(ps):
+            gs = [bwd_one(ps, o_s[s], d_s[s], ids_s[s]) for s in range(slices)]
+            if slices == 1:
+                return gs[0]
+            return jax.tree.map(lambda *x: sum(x), *gs)
+
+        jax.block_until_ready(bwd(params))
         dt_b = timeit(bwd)
         record["fwd_bwd_ms"] = round(dt_b * 1e3, 1)
         record["fwd_bwd_rays_per_s"] = round(rays / dt_b, 1)

@@ -93,3 +93,52 @@ class TestRenderBackend:
         diff = np.abs(a - b).max(-1)
         assert (diff > 1e-3).mean() < 0.005
         assert np.median(diff) < 1e-5
+
+
+class TestLaneKernel:
+    """Ray-lane brute-force kernel (kernels/lane_pallas.py) — the small-
+    table fast path (every VPU lane a ray, scalar loop over triangles)."""
+
+    def test_matches_jnp_search(self, cornell):
+        from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
+
+        o, d = CAM.ray_grid(64, 64)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t_ref, p_ref, _ = argmin_hit(o, d, cornell, EPS, use_mxu=False)
+        t, p = lane_tri_search(o, d, cornell.triangles, EPS)
+        # Plane+barycentric constants round differently from direct MT at
+        # the eps acceptance window — the standard cross-backend quirk-16
+        # tolerance: a handful of borderline flips, identical elsewhere.
+        agree = np.asarray(p) == np.asarray(p_ref)
+        assert agree.mean() > 0.995
+        hit = (np.asarray(p_ref) >= 0) & agree
+        np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(t_ref)[hit],
+                                   rtol=2e-6)
+
+    def test_nonmultiple_ray_count(self, cornell):
+        from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
+
+        o, d = CAM.ray_grid(19, 13)  # 247 rays
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t, p = lane_tri_search(o, d, cornell.triangles, EPS)
+        assert t.shape == (247,)
+        assert (np.asarray(p) < 36).all()
+
+    def test_capacity_limit(self, cornell):
+        import dataclasses
+
+        from esctp1raytracer_tpu.kernels.lane_pallas import (
+            LANE_TRI_LIMIT, lane_tri_search)
+
+        big = dataclasses.replace(
+            cornell.triangles,
+            v0=jnp.zeros((LANE_TRI_LIMIT + 512, 3), jnp.float32),
+        )
+        with pytest.raises(ValueError):
+            lane_tri_search(jnp.zeros((8, 3)), jnp.zeros((8, 3)), big, EPS)
+
+    def test_render_matches_jnp_backend(self, cornell):
+        a = np.asarray(render(cornell, CAM, 64, 64, RenderConfig(backend="jnp")))
+        b = np.asarray(render(cornell, CAM, 64, 64, RenderConfig(backend="lane")))
+        diff = np.abs(a - b).max(-1)
+        assert (diff > 1e-3).mean() < 0.005

@@ -120,11 +120,12 @@ class TestSphereScenes:
 
 
 class TestAutoBackend:
-    def test_auto_picks_mxu_for_small_scenes(self, cornell):
+    def test_auto_picks_lane_for_small_scenes(self, cornell):
         from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
+        from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
 
         search, use_mxu = _search_fns(RenderConfig(backend="auto"), cornell)
-        assert search is None and use_mxu  # mxu path below 4k triangles
+        assert search is lane_tri_search  # ray-lane kernel below 4k tris
 
     def test_auto_picks_pallas_for_big_scenes(self):
         from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
