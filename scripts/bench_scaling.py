@@ -65,6 +65,23 @@ def main():
         rows.append((f"sharded rays={n}", n, dt * 1e3, rate / 1e6, rate / base))
         print(f"sharded {n}dev: {dt*1e3:.1f} ms ({rate/base:.2f}x jit)", flush=True)
 
+    # --- prims-axis cost model ---------------------------------------
+    # The 'prims' axis splits only the search; shading is replicated
+    # across it (documented trade: at N >> 1k triangles search dominates,
+    # so the redundancy is noise; at small N use the rays axis).
+    from esctp1raytracer_tpu.scene.builders import mesh_scene
+
+    prims_rows = []
+    if jax.device_count() >= 8:
+        pscene = mesh_scene(subdivisions=4)  # ~5.6k triangles
+        pcam = Camera.look_at((0, 2, 6), (0, 1, 0), vfov=60.0, aspect=1.0)
+        for rays_n, prims_n in ((8, 1), (4, 2), (2, 4)):
+            mesh = make_mesh(jax.devices()[:8], rays=rays_n, prims=prims_n)
+            dt = timed(lambda: render_sharded(pscene, pcam, 256, 256, cfg, mesh))
+            prims_rows.append((rays_n, prims_n, dt * 1e3))
+            print(f"mesh rays={rays_n} prims={prims_n}: {dt*1e3:.1f} ms",
+                  flush=True)
+
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "SCALING.md")
     with open(out, "w") as fh:
@@ -76,6 +93,16 @@ def main():
         fh.write("|---|---|---|---|---|\n")
         for name, n, ms, mrays, ratio in rows:
             fh.write(f"| {name} | {n} | {ms:.1f} | {mrays:.2f} | {ratio:.2f}x |\n")
+        if prims_rows:
+            fh.write(
+                "\n## ('rays' x 'prims') factorization, ~5.6k-tri mesh, 256²\n\n"
+                "The prims axis splits the closest-hit search "
+                "(all_gather+argmin combine); shading is replicated across "
+                "it, which is noise once the triangle table dominates "
+                "(search:shade compute ratio grows linearly in N).\n\n"
+                "| rays x prims | ms/frame |\n|---|---|\n")
+            for rn, pn, ms in prims_rows:
+                fh.write(f"| {rn} x {pn} | {ms:.1f} |\n")
     print(f"wrote {out}", flush=True)
     ok = rows[1][4] >= 0.6  # sharded(1) within 1.7x of jit(1)
     print("PASS" if ok else "FAIL: sharded(1) slower than 1.7x jit(1)")
