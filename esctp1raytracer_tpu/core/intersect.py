@@ -420,9 +420,16 @@ def any_hit(
     over the reference, which has no spheres.
     """
     t_limit = jax.lax.stop_gradient(t_limit)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    scene = jax.lax.stop_gradient(scene)
+    occl_fn = getattr(tri_search, "occlusion", None)
+    if occl_fn is not None:
+        # Dedicated any-hit kernel: boolean OR fold, no argmin/index carry.
+        tri_occ = occl_fn(o, d, t_limit, scene.triangles, eps)
+        sph_t, _ = _sphere_best(o, d, scene.spheres, eps)
+        return tri_occ | (sph_t < t_limit)
     best_t, _, _ = argmin_hit(
-        jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
-        jax.lax.stop_gradient(scene), eps, block_size, use_mxu, tri_search,
-        t_limit=t_limit,
+        o, d, scene, eps, block_size, use_mxu, tri_search, t_limit=t_limit,
     )
     return best_t < t_limit

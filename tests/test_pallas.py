@@ -142,3 +142,42 @@ class TestLaneKernel:
         b = np.asarray(render(cornell, CAM, 64, 64, RenderConfig(backend="lane")))
         diff = np.abs(a - b).max(-1)
         assert (diff > 1e-3).mean() < 0.005
+
+
+class TestOcclusionKernel:
+    def test_matches_closest_hit_compare(self, cornell):
+        from esctp1raytracer_tpu.core.intersect import _sphere_best, argmin_hit
+        from esctp1raytracer_tpu.kernels.hit_pallas import (
+            pallas_occlusion, pallas_tri_search)
+
+        o, d = CAM.ray_grid(48, 48)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        # realistic shadow wavefront: from primary hits toward the light
+        t, _ = pallas_tri_search(o, d, cornell.triangles, EPS)
+        hit = np.asarray(t) < 1e29
+        hp = np.asarray(o) + np.asarray(d) * (np.asarray(t)[:, None] - 1e-4)
+        p = np.asarray([0.0, 1.97, 0.0], np.float32)
+        lv = p - hp
+        dist = np.linalg.norm(lv, axis=-1)
+        sd = jnp.asarray(lv / np.maximum(dist, 1e-9)[:, None], jnp.float32)
+        so = jnp.asarray(hp, jnp.float32)
+        tl = jnp.asarray(dist - 1e-4, jnp.float32)
+
+        occ_kernel = np.asarray(pallas_occlusion(so, sd, tl, cornell.triangles, EPS))
+        best_t, _ = pallas_tri_search(so, sd, cornell.triangles, EPS)
+        occ_compare = np.asarray(best_t) < np.asarray(tl)
+        agree = (occ_kernel == occ_compare)[hit]
+        assert agree.mean() > 0.999, f"{(~agree).sum()} occlusion flips"
+
+    def test_sliced_occlusion_matches(self, monkeypatch):
+        from esctp1raytracer_tpu.kernels import hit_pallas
+        from esctp1raytracer_tpu.scene.builders import mesh_scene
+
+        scene = mesh_scene(subdivisions=3)
+        o, d = CAM.ray_grid(16, 16)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        tl = jnp.full((o.shape[0],), 10.0, jnp.float32)
+        ref = np.asarray(hit_pallas.pallas_occlusion(o, d, tl, scene.triangles, EPS))
+        monkeypatch.setattr(hit_pallas, "VMEM_TRI_LIMIT", 1024)
+        sliced = np.asarray(hit_pallas.pallas_occlusion(o, d, tl, scene.triangles, EPS))
+        np.testing.assert_array_equal(sliced, ref)
