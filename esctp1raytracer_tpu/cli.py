@@ -79,18 +79,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true", help="debug verbosity")
     p.add_argument("--trace", action="store_true", help="trace verbosity")
     p.add_argument("--mode", "--backend", dest="mode", default="",
-                   choices=["", "jnp", "mxu", "pallas", "sharded", "auto"],
+                   choices=["", "jnp", "mxu", "pallas", "lane", "sharded", "auto"],
                    help="explicit backend (overrides strategy flags)")
     p.add_argument("--depth", type=int, default=1, help="reflection bounces")
     p.add_argument("--seed", type=int, default=0, help="light-sampling seed")
     p.add_argument("--vfov", type=float, default=60.0, help="vertical fov (deg)")
-    p.add_argument("--chunk", type=int, default=262144, help="rays per wavefront")
+    p.add_argument("--chunk", type=int, default=0,
+                   help="rays per wavefront (0 = whole grid, fastest)")
     p.add_argument("--light-mode", default="area",
                    choices=["area", "reference_cpp"],
                    help="area sampling (corrected) or reference-C++ compat")
     p.add_argument("--scene", default="",
-                   choices=["", "cornell", "sphere_plane", "ten_sphere",
-                            "mesh", "mixed", "random100k"],
+                   choices=["", "cornell", "cornell_mirror", "cornell_glossy",
+                            "cornell_sphere", "cornell_water", "sphere_plane",
+                            "ten_sphere", "mesh", "mixed", "random100k"],
                    help="procedural scene instead of -m")
     return p
 
@@ -158,6 +160,10 @@ def main(argv=None) -> int:
     elif args.scene:
         scene = {
             "cornell": builders.cornell_box,
+            "cornell_mirror": lambda: builders.cornell_variant("mirror"),
+            "cornell_glossy": lambda: builders.cornell_variant("glossy"),
+            "cornell_sphere": lambda: builders.cornell_variant("sphere"),
+            "cornell_water": lambda: builders.cornell_variant("water"),
             "sphere_plane": builders.sphere_plane_scene,
             "ten_sphere": builders.ten_sphere_scene,
             "mesh": builders.mesh_scene,

@@ -46,7 +46,7 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
     scene = make_scene()
     cam = Camera.look_at(eye, (0, 1, 0), vfov=60.0, aspect=width / height)
     backend = os.environ.get("ESCTP_BENCH_BACKEND", "auto")
-    cfg = RenderConfig(backend=backend, depth=depth, ray_chunk=131072)
+    cfg = RenderConfig(backend=backend, depth=depth, ray_chunk=0)
     o, d = cam.ray_grid(width, height)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
