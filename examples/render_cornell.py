@@ -5,7 +5,7 @@
     python examples/render_cornell.py [out.ppm]
 """
 
-import os
+import sys
 
 import numpy as np
 
