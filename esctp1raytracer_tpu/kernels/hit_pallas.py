@@ -87,6 +87,9 @@ def _pack_constants(sorted_tris: TriangleBuffer, perm: jax.Array):
     e1 = sorted_tris.v1 - sorted_tris.v0
     e2 = sorted_tris.v2 - sorted_tris.v0
     nrm = jnp.cross(e1, e2)
+    # Invalid triangles get a zero normal -> det == 0 -> rejected by the
+    # kernel's ok_det test; the valid flag costs nothing at run time.
+    nrm = jnp.where(sorted_tris.valid[:, None], nrm, 0.0)
     nn = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
     w_u = jnp.cross(e2, nrm) / nn
     w_v = jnp.cross(nrm, e1) / nn
@@ -193,13 +196,17 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
             wvy = tc_ref[9, jb]
             wvz = tc_ref[10, jb]
             bv = tc_ref[11, jb]
-            vld = tc_ref[12, jb]
             idx_grid = jb * BLOCK + lane_idx
 
             out = []
             for s in range(COHERENT):
                 ox, oy, oz, dx, dy, dz = rays[s]
                 row_t, row_i = carry[2 * s], carry[2 * s + 1]
+                # Acceptance window algebra (still the reference's exact
+                # semantics, src/scene/ray_triangle.h:23-47): u <= 1 is
+                # implied by v >= eps & u+v <= 1; (u>=eps)&(v>=eps) folds
+                # to min; padded/degenerate triangles have n = 0 so
+                # det == 0 rejects them without a valid-row test.
                 det = -(dx * nx + dy * ny + dz * nz)
                 ok_det = jnp.abs(det) >= eps
                 inv = 1.0 / jnp.where(ok_det, det, 1.0)
@@ -211,9 +218,9 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
                 v = wvx * px + wvy * py + wvz * pz + bv
                 ok = (
                     ok_det
-                    & (u >= eps) & (u <= 1.0)
-                    & (v >= eps) & (u + v <= 1.0)
-                    & (t >= eps) & (vld > 0.0)
+                    & (jnp.minimum(u, v) >= eps)
+                    & (u + v <= 1.0)
+                    & (t >= eps)
                 )
                 t = jnp.where(ok, t, big)
                 # Sublane fold: per-lane min over the 8 sublanes; ties take
@@ -408,7 +415,6 @@ def _occl_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
             wvy = tc_ref[9, jb]
             wvz = tc_ref[10, jb]
             bv = tc_ref[11, jb]
-            vld = tc_ref[12, jb]
 
             out = []
             for s in range(COHERENT):
@@ -425,9 +431,9 @@ def _occl_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
                 v = wvx * px + wvy * py + wvz * pz + bv
                 ok = (
                     ok_det
-                    & (u >= eps) & (u <= 1.0)
-                    & (v >= eps) & (u + v <= 1.0)
-                    & (t >= eps) & (t < tlim) & (vld > 0.0)
+                    & (jnp.minimum(u, v) >= eps)
+                    & (u + v <= 1.0)
+                    & (t >= eps) & (t < tlim)
                 )
                 blk = jnp.max(jnp.where(ok, 1, 0), axis=0, keepdims=True)
                 out.append(jnp.maximum(row, blk))

@@ -43,6 +43,9 @@ def lane_tri_constants(tris: TriangleBuffer):
     e1 = tris.v1 - tris.v0
     e2 = tris.v2 - tris.v0
     nrm = jnp.cross(e1, e2)
+    # Invalid triangles get a zero normal -> det == 0 -> rejected in the
+    # kernel with no per-pair valid test.
+    nrm = jnp.where(tris.valid[:, None], nrm, 0.0)
     nn = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
     nn = jnp.where(nn > 0, nn, 1.0)
     w_u = jnp.cross(e2, nrm) / nn
@@ -87,7 +90,6 @@ def _lane_kernel(eps_ref, n_ref, tcs_ref, rays_ref, t_ref, idx_ref):
         wvy = tcs_ref[0, base + 9]
         wvz = tcs_ref[0, base + 10]
         bv = tcs_ref[0, base + 11]
-        vld = tcs_ref[0, base + 12]
         det = -(dx * nx + dy * ny + dz * nz)
         ok_det = jnp.abs(det) >= eps
         inv = 1.0 / jnp.where(ok_det, det, 1.0)
@@ -97,11 +99,13 @@ def _lane_kernel(eps_ref, n_ref, tcs_ref, rays_ref, t_ref, idx_ref):
         pz = oz + t * dz
         u = wux * px + wuy * py + wuz * pz + bu
         v = wvx * px + wvy * py + wvz * pz + bv
+        # u <= 1 implied by v >= eps & u+v <= 1; invalid triangles have
+        # n = 0 so det == 0 rejects them (see hit_pallas._hit_kernel).
         ok = (
             ok_det
-            & (u >= eps) & (u <= 1.0)
-            & (v >= eps) & (u + v <= 1.0)
-            & (t >= eps) & (vld > 0.0)
+            & (jnp.minimum(u, v) >= eps)
+            & (u + v <= 1.0)
+            & (t >= eps)
         )
         t = jnp.where(ok, t, big)
         better = t < bt  # strict: first (lowest-index) winner on ties
