@@ -121,8 +121,7 @@ def main():
     for name, make_scene, eye, w, h, depth in CONFIGS:
         if only not in name:
             continue
-        run_config(name, make_scene, eye, w, h, depth,
-                   backward=name != "soup100k_4k")
+        run_config(name, make_scene, eye, w, h, depth)
 
 
 if __name__ == "__main__":
