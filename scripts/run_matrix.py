@@ -33,7 +33,7 @@ STRATEGIES = [
     ("sequential", "jnp", False),
     ("thread", "mxu", True),   # sharded over the device mesh
     ("bvh", "mxu", False),
-    ("ispc", "pallas", False),
+    ("ispc", "auto", False),  # auto: lane kernel at Cornell size, bundle above
 ]
 
 
@@ -56,7 +56,10 @@ def main() -> int:
     images = {}
     print(f"{'strategy':<12} {'backend':<8} {'first(ms)':>10} {'steady(ms)':>11} {'Mrays/s':>9}")
     for suffix, backend, sharded in STRATEGIES:
-        cfg = RenderConfig(backend=backend, ray_chunk=262144)
+        # jnp's broadcast search needs chunking to bound its [chunk, N, 3]
+        # intermediates; the kernel backends are fastest unchunked.
+        chunk = 262144 if backend == "jnp" else 0
+        cfg = RenderConfig(backend=backend, ray_chunk=chunk)
 
         def go():
             if sharded:
