@@ -122,7 +122,10 @@ def main():
             co, cd = ccam.ray_grid(1024, 768)
             co, cd = co.reshape(-1, 3), cd.reshape(-1, 3)
             cids = jnp.arange(co.shape[0], dtype=jnp.uint32)
-            ccfg = cfg
+            # Forward-only measurement -> the fused whole-frame kernel
+            # (image-identical to the lane path; kernels/fused_pallas.py),
+            # like the reference's best strategy (--thread) is measured.
+            ccfg = cfg.replace(backend="fused")
             reps = 8  # amortize per-call dispatch latency (tunnel RTT)
 
             @jax.jit

@@ -48,7 +48,7 @@ class RenderConfig:
     shadow_eps: float = 1e-4
     block_size: int = 512
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
-    backend: str = "jnp"  # "jnp" | "mxu" | "pallas" | "lane" | "auto"
+    backend: str = "jnp"  # "jnp"|"mxu"|"pallas"|"lane"|"fused"|"auto"
     seed: int = 0
     # "area" = corrected ISPC-style area-light sampling;
     # "reference_cpp" = bit-faithful reproduction of the C++ path's
@@ -85,6 +85,10 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
         from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
 
         return pallas_tri_search, True
+    if backend == "tile":
+        from esctp1raytracer_tpu.kernels.rt_tile import tile_tri_search
+
+        return tile_tri_search, True
     if backend == "mxu":
         return None, True
     if backend == "jnp":
@@ -137,6 +141,19 @@ def trace_rays(
              ray_ids.reshape(-1, chunk)),
         )
         return color.reshape(-1, 3)[:r]
+    if cfg.backend == "fused" and tri_search is None:
+        from esctp1raytracer_tpu.kernels.fused_pallas import (
+            fused_supported, fused_trace,
+        )
+
+        if fused_supported(scene, cfg.depth, cfg.light_mode):
+            return fused_trace(o, d, scene, ray_ids, cfg)
+        # Unsupported shape (depth>1, reference_cpp sampling, no lights,
+        # or an over-limit table): fall back to the lane/bundle path.
+        cfg = cfg.replace(
+            backend="lane"
+            if scene.triangles.capacity <= 4096 else "pallas"
+        )
     backend_search, use_mxu = _search_fns(cfg, scene)
     if tri_search is None:
         tri_search = backend_search

@@ -1,0 +1,490 @@
+"""Fully-fused frame kernel: rays in, shaded colors out, ONE Pallas call.
+
+For small primitive tables the frame cost is not the intersection math —
+the lane kernel sweeps Cornell's 36 triangles in ~1 ms — it is the XLA
+glue around it: winner gathers, light sampling, the second occlusion
+dispatch, and the layout shuffles between them (ROOFLINE.md measures the
+Cornell frame at ~95% glue). This kernel is the reference's whole
+per-pixel loop (`scan_row`, src/main.cpp:698-882: intersect -> shade ->
+shadow ray -> accumulate) as a single TPU program over 1024 rays at a
+time, the way the ISPC backend fused it (src/ispc/trace.ispc:86-272):
+
+* primary closest hit: scalar loop over SMEM triangle plane/barycentric
+  constants (the lane kernel's search) plus the analytic sphere table;
+* winner attributes (vertices, normals, material) fetched by a second
+  loop of per-lane selects — TPUs have no per-lane SMEM gather, so the
+  gather IS a masked scan, amortized over 1024 rays;
+* t/u/v recomputed with the classic Möller–Trumbore cross-product form
+  on the winning triangle — the same arithmetic `closest_hit` uses
+  (core/intersect.py), so hit points land where the XLA path puts them;
+* light sampling with the murmur3 counter RNG of utils/rng.py evaluated
+  in uint32 vector ops — draw-for-draw identical to the XLA path, so
+  the fused image equals the lane-backend image;
+* per-light shadow any-hit (OR-fold over the same constants, t-ceiling
+  window) and the exact reference Phong contribution
+  ((ka*0.5+ke)/L + (kd*d + ks*dot(N,H)^Ns)/L, visibility-gated,
+  src/main.cpp:769-788).
+
+Forward-only (no JVP/VJP rule): the differentiable path stays on the
+backend kernels + XLA shading. Opt in with RenderConfig(backend="fused");
+`fused_supported` gates on the static scene/config shape and the caller
+falls back to the lane path otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
+from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_constants
+from esctp1raytracer_tpu.scene.types import Scene
+
+RAYS_PER_STEP = 1024  # one (8, 128) tile of rays per grid step
+FUSED_TRI_LIMIT = 2048  # SMEM: (13 + 32) * N * 4 B = 360 KB at 2048
+_SHAD_W = 32  # v0 v1 v2 n0 n1 n2 has_n ka kd ks ke ns
+_SPH_W = 18  # center radius valid ka kd ks ke ns
+_TINY = np.float32(1e-12)
+
+# murmur3 constants — must match utils/rng.py bit-for-bit.
+_C1 = 0x85EBCA6B
+_C2 = 0xC2B2AE35
+_GOLDEN = 0x9E3779B9
+_U32 = 1 << 32
+
+
+def fused_supported(scene: Scene, depth: int, light_mode: str) -> bool:
+    """Static gate: everything here is known at trace time (no tracers)."""
+    return (
+        depth == 1
+        and light_mode == "area"
+        and scene.lights.num_lights >= 1
+        and scene.triangles.capacity <= FUSED_TRI_LIMIT
+    )
+
+
+def fused_tables(scene: Scene):
+    """SMEM-resident tables: intersection constants + shading attributes.
+
+    Returns (tcs [1,13N], shad [1,32N], sph [1,18S], lcorners [1,L*F*9],
+    counts [L] int32, n_tris [1] int32).
+    """
+    tris = scene.triangles
+    tcs = lane_tri_constants(tris)
+    shad = jnp.concatenate(
+        [
+            tris.v0, tris.v1, tris.v2, tris.n0, tris.n1, tris.n2,
+            tris.has_normals[:, None].astype(jnp.float32),
+            tris.ka, tris.kd, tris.ks, tris.ke, tris.ns[:, None],
+        ],
+        axis=1,
+    )  # [N, 32]
+    sph = scene.spheres
+    spht = jnp.concatenate(
+        [
+            sph.center, sph.radius[:, None],
+            sph.valid[:, None].astype(jnp.float32),
+            sph.ka, sph.kd, sph.ks, sph.ke, sph.ns[:, None],
+        ],
+        axis=1,
+    )  # [S, 18]
+    lt = scene.lights
+    packed = jnp.concatenate([tris.v0, tris.v1, tris.v2], axis=1)  # [N, 9]
+    lc = jnp.take(packed, lt.tri_idx, axis=0)  # [L, F, 9]
+    iota = jnp.arange(tris.capacity, dtype=jnp.int32)
+    n_tris = (jnp.max(jnp.where(tris.valid, iota, -1)) + 1).reshape(1)
+    return (tcs, shad.reshape(1, -1), spht.reshape(1, -1),
+            lc.reshape(1, -1), lt.face_count.astype(jnp.int32), n_tris)
+
+
+def _stream_const(stream: int) -> np.uint32:
+    """Host-side stream mixing constant: (stream * C1 + GOLDEN) mod 2^32."""
+    return np.uint32((stream * _C1 + _GOLDEN) % _U32)
+
+
+def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
+                 shadow_eps: float):
+    """Build the frame kernel for static (sphere count, lights, faces, cfg)."""
+    # numpy scalars only: jnp constants would be captured tracers, which
+    # pallas_call rejects — np scalars embed as literals.
+    epsf = np.float32(eps)
+    sh_eps = np.float32(shadow_eps)
+    big = np.float32(BIG)
+    tiny = np.float32(_TINY)
+    inv_l = np.float32(1.0 / L)
+    s0 = np.uint32((int(np.uint32(seed)) + _GOLDEN) % _U32)
+    c1 = np.uint32(_C1)
+    c2 = np.uint32(_C2)
+    u16 = np.uint32(16)
+    u13 = np.uint32(13)
+    u8 = np.uint32(8)
+    to_unit = np.float32(1.0 / (1 << 24))
+
+    def fmix(h):
+        h = h ^ (h >> u16)
+        h = h * c1
+        h = h ^ (h >> u13)
+        h = h * c2
+        h = h ^ (h >> u16)
+        return h
+
+    def uniform(h0, stream_const):
+        bits = fmix(h0 ^ stream_const)
+        # u32 -> f32 via i32: bits>>8 < 2^24 fits int32 exactly.
+        return (bits >> u8).astype(jnp.int32).astype(jnp.float32) * to_unit
+
+    def kernel(n_ref, cnt_ref, tcs_ref, shad_ref, sph_ref, lc_ref,
+               rays_ref, ids_ref, out_ref):
+        n_tris = n_ref[0]
+        ox = rays_ref[0, 0:8, :]
+        oy = rays_ref[0, 8:16, :]
+        oz = rays_ref[0, 16:24, :]
+        dx = rays_ref[0, 24:32, :]
+        dy = rays_ref[0, 32:40, :]
+        dz = rays_ref[0, 40:48, :]
+        ids = ids_ref[0].astype(jnp.uint32)
+
+        # ---- primary closest hit: triangles (plane constants) ----------
+        def search(i, carry):
+            bt, bi = carry
+            base = i * 13
+            nx = tcs_ref[0, base + 0]
+            ny = tcs_ref[0, base + 1]
+            nz = tcs_ref[0, base + 2]
+            nv0 = tcs_ref[0, base + 3]
+            wux = tcs_ref[0, base + 4]
+            wuy = tcs_ref[0, base + 5]
+            wuz = tcs_ref[0, base + 6]
+            bu = tcs_ref[0, base + 7]
+            wvx = tcs_ref[0, base + 8]
+            wvy = tcs_ref[0, base + 9]
+            wvz = tcs_ref[0, base + 10]
+            bv = tcs_ref[0, base + 11]
+            det = -(dx * nx + dy * ny + dz * nz)
+            ok_det = jnp.abs(det) >= epsf
+            inv = 1.0 / jnp.where(ok_det, det, 1.0)
+            t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+            u = wux * px + wuy * py + wuz * pz + bu
+            v = wvx * px + wvy * py + wvz * pz + bv
+            ok = (ok_det & (jnp.minimum(u, v) >= epsf)
+                  & (u + v <= 1.0) & (t >= epsf))
+            t = jnp.where(ok, t, big)
+            better = t < bt
+            return (jnp.where(better, t, bt),
+                    jnp.where(better, jnp.full((8, 128), i, jnp.int32), bi))
+
+        bt, bi = jax.lax.fori_loop(
+            0, n_tris, search,
+            (jnp.full((8, 128), big, jnp.float32),
+             jnp.full((8, 128), NO_HIT, jnp.int32)),
+        )
+
+        # ---- primary closest hit: spheres (analytic) --------------------
+        def sphere_t(j, sox, soy, soz, sdx, sdy, sdz):
+            b0 = j * _SPH_W
+            cx = sph_ref[0, b0 + 0]
+            cy = sph_ref[0, b0 + 1]
+            cz = sph_ref[0, b0 + 2]
+            r = sph_ref[0, b0 + 3]
+            vld = sph_ref[0, b0 + 4]
+            ocx = sox - cx
+            ocy = soy - cy
+            ocz = soz - cz
+            b = ocx * sdx + ocy * sdy + ocz * sdz
+            c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = b * b - c0
+            pos = disc > 0.0
+            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+            tn = -b - sq
+            t = jnp.where(tn >= epsf, tn, -b + sq)
+            ok = (disc >= 0.0) & (t >= epsf) & (vld > 0.5)
+            return jnp.where(ok, t, big)
+
+        bst = jnp.full((8, 128), big, jnp.float32)
+        bsi = jnp.full((8, 128), NO_HIT, jnp.int32)
+        for j in range(S):
+            t = sphere_t(j, ox, oy, oz, dx, dy, dz)
+            better = t < bst
+            bst = jnp.where(better, t, bst)
+            bsi = jnp.where(better, jnp.full((8, 128), j, jnp.int32), bsi)
+
+        is_s = bst < bt  # strict: triangles win ties (core/intersect.py)
+        bt_comb = jnp.where(is_s, bst, bt)
+        hit = bt_comb < big
+
+        # ---- winner attribute fetch (per-lane gather as masked scan) ----
+        zero = jnp.zeros((8, 128), jnp.float32)
+
+        def fetch_geom(i, carry):
+            m = bi == i
+            base = i * _SHAD_W
+
+            def sel(k, cur):
+                return jnp.where(m, shad_ref[0, base + k], cur)
+
+            return tuple(sel(k, carry[k]) for k in range(19))
+
+        g = jax.lax.fori_loop(0, n_tris, fetch_geom, (zero,) * 19)
+        v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = g[0:9]
+        n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = g[9:18]
+        has_n = g[18]
+
+        def fetch_mat(i, carry):
+            m = bi == i
+            base = i * _SHAD_W + 19
+
+            def sel(k, cur):
+                return jnp.where(m, shad_ref[0, base + k], cur)
+
+            return tuple(sel(k, carry[k]) for k in range(13))
+
+        mt_ = jax.lax.fori_loop(0, n_tris, fetch_mat, (zero,) * 13)
+        (kax, kay, kaz, kdx, kdy, kdz, ksx, ksy, ksz,
+         kex, key_, kez, ns) = mt_
+
+        # ---- t/u/v recompute: classic MT form, as closest_hit does ------
+        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        ok_det = jnp.abs(det) >= epsf
+        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u_r = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v_r = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t_r = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        ok_r = (ok_det & (u_r >= epsf) & (u_r <= 1.0) & (v_r >= epsf)
+                & (u_r + v_r <= 1.0) & (t_r >= epsf))
+        t_r = jnp.where(ok_r, t_r, big)
+        t_tri = jnp.where(t_r < big, t_r, bt_comb)  # borderline fallback
+        t_fin = jnp.where(is_s, bst, t_tri)
+
+        # ---- hit point + shading normal (surface_attributes) ------------
+        t_safe = jnp.where(hit, t_fin, 1.0)
+        back = t_safe - sh_eps
+        hpx = jnp.where(hit, ox + dx * back, 0.0)
+        hpy = jnp.where(hit, oy + dy * back, 0.0)
+        hpz = jnp.where(hit, oz + dz * back, 0.0)
+
+        ngx = e1y * e2z - e1z * e2y
+        ngy = e1z * e2x - e1x * e2z
+        ngz = e1x * e2y - e1y * e2x
+        gn = jax.lax.rsqrt(jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz,
+                                       tiny))
+        ngx, ngy, ngz = ngx * gn, ngy * gn, ngz * gn
+        u_sh = jnp.where(hit & ~is_s, u_r, 0.0)
+        v_sh = jnp.where(hit & ~is_s, v_r, 0.0)
+        w_sh = 1.0 - u_sh - v_sh
+        nsx = n1x * u_sh + n2x * v_sh + n0x * w_sh
+        nsy = n1y * u_sh + n2y * v_sh + n0y * w_sh
+        nsz = n1z * u_sh + n2z * v_sh + n0z * w_sh
+        sn = jax.lax.rsqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz,
+                                       tiny))
+        smooth = has_n > 0.5
+        ntx = jnp.where(smooth, nsx * sn, ngx)
+        nty = jnp.where(smooth, nsy * sn, ngy)
+        ntz = jnp.where(smooth, nsz * sn, ngz)
+
+        # Sphere winner: center/radius/material via a static masked scan.
+        scx = zero
+        scy = zero
+        scz = zero
+        srad = zero
+        for j in range(S):
+            m = bsi == j
+            b0 = j * _SPH_W
+            scx = jnp.where(m, sph_ref[0, b0 + 0], scx)
+            scy = jnp.where(m, sph_ref[0, b0 + 1], scy)
+            scz = jnp.where(m, sph_ref[0, b0 + 2], scz)
+            srad = jnp.where(m, sph_ref[0, b0 + 3], srad)
+            mm = m & is_s
+            kax = jnp.where(mm, sph_ref[0, b0 + 5], kax)
+            kay = jnp.where(mm, sph_ref[0, b0 + 6], kay)
+            kaz = jnp.where(mm, sph_ref[0, b0 + 7], kaz)
+            kdx = jnp.where(mm, sph_ref[0, b0 + 8], kdx)
+            kdy = jnp.where(mm, sph_ref[0, b0 + 9], kdy)
+            kdz = jnp.where(mm, sph_ref[0, b0 + 10], kdz)
+            ksx = jnp.where(mm, sph_ref[0, b0 + 11], ksx)
+            ksy = jnp.where(mm, sph_ref[0, b0 + 12], ksy)
+            ksz = jnp.where(mm, sph_ref[0, b0 + 13], ksz)
+            kex = jnp.where(mm, sph_ref[0, b0 + 14], kex)
+            key_ = jnp.where(mm, sph_ref[0, b0 + 15], key_)
+            kez = jnp.where(mm, sph_ref[0, b0 + 16], kez)
+            ns = jnp.where(mm, sph_ref[0, b0 + 17], ns)
+
+        r_safe = jnp.where(is_s, jnp.maximum(srad, 1e-6), 1.0)
+        inv_r = 1.0 / r_safe
+        nspx = jnp.where(is_s, hpx - scx, 0.0) * inv_r
+        nspy = jnp.where(is_s, hpy - scy, 0.0) * inv_r
+        nspz = jnp.where(is_s, hpz - scz, 0.0) * inv_r
+        nx_ = jnp.where(hit, jnp.where(is_s, nspx, ntx), 0.0)
+        ny_ = jnp.where(hit, jnp.where(is_s, nspy, nty), 0.0)
+        nz_ = jnp.where(hit, jnp.where(is_s, nspz, ntz), 0.0)
+
+        # ---- per-light: sample, shadow, Phong (static unroll over L) ----
+        h0 = fmix(ids ^ s0)
+        col_r = zero
+        col_g = zero
+        col_b = zero
+        for l in range(L):
+            cnt = cnt_ref[l]
+            u_face = uniform(h0, np.uint32(_stream_const(4 * l)))
+            r1 = uniform(h0, np.uint32(_stream_const(4 * l + 1)))
+            r2 = uniform(h0, np.uint32(_stream_const(4 * l + 2)))
+            cntf = cnt.astype(jnp.float32)
+            face = jnp.minimum((u_face * cntf).astype(jnp.int32), cnt - 1)
+            lv = [zero] * 9
+            for f in range(F):
+                m = face == f
+                b0 = (l * F + f) * 9
+                for k in range(9):
+                    lv[k] = jnp.where(m, lc_ref[0, b0 + k], lv[k])
+            lpx = lv[0] + (lv[3] - lv[0]) * r1 + (lv[6] - lv[0]) * r2
+            lpy = lv[1] + (lv[4] - lv[1]) * r1 + (lv[7] - lv[1]) * r2
+            lpz = lv[2] + (lv[5] - lv[2]) * r1 + (lv[8] - lv[2]) * r2
+
+            lvx, lvy, lvz = lpx - hpx, lpy - hpy, lpz - hpz
+            dist = jnp.sqrt(jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz,
+                                        tiny))
+            inv_d = 1.0 / dist
+            ldx, ldy, ldz = lvx * inv_d, lvy * inv_d, lvz * inv_d
+            t_lim = dist - sh_eps
+
+            def shadow(i, occ):
+                base = i * 13
+                snx = tcs_ref[0, base + 0]
+                sny = tcs_ref[0, base + 1]
+                snz = tcs_ref[0, base + 2]
+                nv0 = tcs_ref[0, base + 3]
+                wux = tcs_ref[0, base + 4]
+                wuy = tcs_ref[0, base + 5]
+                wuz = tcs_ref[0, base + 6]
+                bu = tcs_ref[0, base + 7]
+                wvx = tcs_ref[0, base + 8]
+                wvy = tcs_ref[0, base + 9]
+                wvz = tcs_ref[0, base + 10]
+                bv = tcs_ref[0, base + 11]
+                det = -(ldx * snx + ldy * sny + ldz * snz)
+                ok_det = jnp.abs(det) >= epsf
+                inv = 1.0 / jnp.where(ok_det, det, 1.0)
+                t = ((hpx * snx + hpy * sny + hpz * snz) - nv0) * inv
+                px = hpx + t * ldx
+                py = hpy + t * ldy
+                pz = hpz + t * ldz
+                u = wux * px + wuy * py + wuz * pz + bu
+                v = wvx * px + wvy * py + wvz * pz + bv
+                ok = (ok_det & (jnp.minimum(u, v) >= epsf)
+                      & (u + v <= 1.0) & (t >= epsf) & (t < t_lim))
+                # int32 carry: Mosaic cannot legalize a fori_loop carrying
+                # a bool (i1) vector — same pattern as hit_pallas._occl_kernel.
+                return jnp.maximum(occ, jnp.where(ok, 1, 0))
+
+            occ = jax.lax.fori_loop(0, n_tris, shadow,
+                                    jnp.zeros((8, 128), jnp.int32))
+            for j in range(S):
+                t = sphere_t(j, hpx, hpy, hpz, ldx, ldy, ldz)
+                occ = jnp.maximum(occ, jnp.where(t < t_lim, 1, 0))
+
+            d_nl = nx_ * ldx + ny_ * ldy + nz_ * ldz
+            hvx = (nx_ + ldx) * 2.0
+            hvy = (ny_ + ldy) * 2.0
+            hvz = (nz_ + ldz) * 2.0
+            hn = jax.lax.rsqrt(jnp.maximum(hvx * hvx + hvy * hvy + hvz * hvz,
+                                           tiny))
+            spec_dot = jnp.maximum((nx_ * hvx + ny_ * hvy + nz_ * hvz) * hn,
+                                   0.0)
+            spec = jnp.exp(ns * jnp.log(jnp.maximum(spec_dot, tiny)))
+            vis = hit & (occ == 0) & (d_nl > 0.0)
+            cr = (kax * 0.5 + kex + kdx * d_nl + ksx * spec) * inv_l
+            cg = (kay * 0.5 + key_ + kdy * d_nl + ksy * spec) * inv_l
+            cb = (kaz * 0.5 + kez + kdz * d_nl + ksz * spec) * inv_l
+            col_r = col_r + jnp.where(vis, cr, 0.0)
+            col_g = col_g + jnp.where(vis, cg, 0.0)
+            col_b = col_b + jnp.where(vis, cb, 0.0)
+
+        out_ref[0, 0:8, :] = col_r
+        out_ref[0, 8:16, :] = col_g
+        out_ref[0, 16:24, :] = col_b
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("S", "L", "F", "seed", "eps",
+                                   "shadow_eps", "interpret"))
+def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
+                S: int, L: int, F: int, seed: int, eps: float,
+                shadow_eps: float, interpret: bool = False):
+    r = o.shape[0]
+    pad = (-r) % RAYS_PER_STEP
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+        ray_ids = jnp.concatenate([ray_ids, jnp.zeros((pad,), ray_ids.dtype)])
+    rp = r + pad
+    steps = rp // RAYS_PER_STEP
+
+    comps = jnp.concatenate([o, d], axis=1)  # [rp, 6]
+    rays = comps.T.reshape(6, steps, 8, 128).transpose(1, 0, 2, 3)
+    rays = rays.reshape(steps, 48, 128)
+    ids = ray_ids.astype(jnp.int32).reshape(steps, 8, 128)
+
+    kernel = _make_kernel(S, L, F, seed, eps, shadow_eps)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # n_tris, counts
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec(tcs.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(shad.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(sph.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(lc.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 48, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 24, 128), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((steps, 24, 128), jnp.float32),
+        interpret=interpret,
+    )(n_tris, counts, tcs, shad, sph, lc, rays, ids)
+    color = out.reshape(steps, 3, 8, 128).transpose(1, 0, 2, 3)
+    return color.reshape(3, rp).T[:r]
+
+
+def fused_trace(o: jax.Array, d: jax.Array, scene: Scene,
+                ray_ids: jax.Array, cfg) -> jax.Array:
+    """One wavefront through the fused frame kernel -> colors [R, 3].
+
+    Caller must check `fused_supported` first (static gate). Matches
+    trace_rays(depth=1, light_mode="area") draw-for-draw.
+    """
+    tcs, shad, sph, lc, counts, n_tris = fused_tables(scene)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    return _fused_call(
+        o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
+        S=scene.spheres.capacity, L=scene.lights.num_lights,
+        F=scene.lights.max_faces, seed=cfg.seed, eps=float(cfg.eps),
+        shadow_eps=float(cfg.shadow_eps), interpret=interpret,
+    )

@@ -1,0 +1,402 @@
+"""Ray x triangle tile kernel: 8 rays x 128 triangles per vector op.
+
+The bundle kernel (hit_pallas.py) assigns a vector tile to (1 ray x 1024
+triangles), so its culling granularity is 1024 triangles — and measured
+on the flagship scene the mean ray tests ~2.7 such blocks = ~2760
+pairs. Shrinking blocks under the (8, 128) tile doesn't help there: a
+masked sub-tile costs the same vector issue slots as a full one.
+
+This kernel transposes the assignment: **sublanes are the bundle's 8
+rays, lanes are 128 triangles** — one Morton-sorted sub-block per
+fori_loop step. Same 1024 pairs per vector op, but the cull list now
+works at 128-triangle granularity, where the same scene measures ~770
+pairs/ray — 3.6x fewer (scripts/probe_tile.py re-measures on-chip).
+The reduction also gets cheaper than the bundle kernel's per-block
+sublane folds: the running (t, index) minimum lives per (ray, lane
+slot) across the whole loop, and ONE cross-lane fold per bundle
+finishes all 8 rays.
+
+Per sub-block step the 12 constant rows load as (1, 128) slices of a
+[NSUB, 16, 128] VMEM table — dynamic indexing on the *untiled* leading
+dim (legal in Mosaic) — and broadcast over the 8 ray sublanes; the ray
+components broadcast the other way, built once per bundle from SMEM
+scalars into (8, 128) registers via sublane-iota selects.
+
+Same acceptance window, tie rule (first in Morton-sorted order), and
+pre-pass (block_cull_mask + ascending compacted lists) as the bundle
+kernel; reference parity anchors are identical (Möller–Trumbore window
+of src/scene/ray_triangle.h:23-47, SPMD loop of src/ispc/trace.ispc:70-84,
+culling role of the reference BVH src/main.cpp:98-171).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from esctp1raytracer_tpu.accel.clusters import build_clusters
+from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
+from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+from esctp1raytracer_tpu.scene.types import TriangleBuffer
+
+RAY_GROUP = 128          # rays per grid step (SMEM-resident scalars)
+COHERENT = 8             # rays per bundle = the 8 sublanes of a tile
+SUB = 128                # triangles per sub-block = the 128 lanes
+TILE_TRI_LIMIT = 98_304  # NSUB=768: [768,16,128] f32 = 6.3 MB VMEM resident
+
+_INT_BIG = np.int32(2**31 - 1)
+
+
+def tri_constants_sub(tris: TriangleBuffer):
+    """Cluster-sort and pack constants at SUB granularity.
+
+    Returns (tc [NSUB, 16, 128], sub_aabbs [8, NSUB], perm [N]).
+    """
+    n = tris.capacity
+    pad = (-n) % SUB
+    clustered = build_clusters(tris)
+    sorted_tris, perm = clustered.tris, clustered.perm
+    if pad:
+        filler = TriangleBuffer.empty(pad)
+        sorted_tris = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), sorted_tris, filler
+        )
+        perm = jnp.concatenate([perm, jnp.full((pad,), NO_HIT, jnp.int32)])
+    return _pack_sub(sorted_tris, perm)
+
+
+def _pack_sub(sorted_tris: TriangleBuffer, perm: jax.Array):
+    npad = sorted_tris.capacity
+    e1 = sorted_tris.v1 - sorted_tris.v0
+    e2 = sorted_tris.v2 - sorted_tris.v0
+    nrm = jnp.cross(e1, e2)
+    # Invalid triangles: zero normal -> det == 0 -> rejected for free.
+    nrm = jnp.where(sorted_tris.valid[:, None], nrm, 0.0)
+    nn = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
+    w_u = jnp.cross(e2, nrm) / nn
+    w_v = jnp.cross(nrm, e1) / nn
+    rows = [
+        nrm[:, 0], nrm[:, 1], nrm[:, 2],
+        jnp.sum(nrm * sorted_tris.v0, axis=-1),
+        w_u[:, 0], w_u[:, 1], w_u[:, 2],
+        -jnp.sum(w_u * sorted_tris.v0, axis=-1),
+        w_v[:, 0], w_v[:, 1], w_v[:, 2],
+        -jnp.sum(w_v * sorted_tris.v0, axis=-1),
+        sorted_tris.valid.astype(jnp.float32),
+    ]
+    table = jnp.stack(rows, axis=0)  # [12, npad]
+    table = jnp.concatenate(
+        [table, jnp.zeros((16 - table.shape[0], npad), jnp.float32)], axis=0
+    )
+    nsub = npad // SUB
+    tc = table.reshape(16, nsub, SUB).transpose(1, 0, 2)  # [NSUB, 16, 128]
+
+    v = jnp.stack([sorted_tris.v0, sorted_tris.v1, sorted_tris.v2], axis=1)
+    big = jnp.float32(1e30)
+    bmin = jnp.where(sorted_tris.valid[:, None], jnp.min(v, axis=1), big)
+    bmax = jnp.where(sorted_tris.valid[:, None], jnp.max(v, axis=1), -big)
+    blk_min = jnp.min(bmin.reshape(nsub, SUB, 3), axis=1)
+    blk_max = jnp.max(bmax.reshape(nsub, SUB, 3), axis=1)
+    aabbs = jnp.concatenate(
+        [blk_min.T, blk_max.T, jnp.zeros((2, nsub), jnp.float32)], axis=0
+    )  # [8, NSUB]
+    return tc, aabbs, perm
+
+
+def _build_ray_tiles(rays_ref, g, ncomp, sub_iota):
+    """(8, 128) register per component: sublane s = ray s of bundle g."""
+    comps = []
+    for c in range(ncomp):
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for s in range(COHERENT):
+            scal = rays_ref[0, 0, (g * COHERENT + s) * 8 + c]
+            acc = jnp.where(sub_iota == s, scal, acc)
+        comps.append(acc)
+    return comps
+
+
+def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
+    eps = eps_ref[0]
+    big = jnp.float32(BIG)
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    num_groups = rays_ref.shape[2] // (8 * COHERENT)
+    nsub_max = ids_ref.shape[2] // num_groups
+
+    def group_body(g):
+        ox, oy, oz, dx, dy, dz = _build_ray_tiles(rays_ref, g, 6, sub_iota)
+
+        def block_body(k, carry):
+            bt, bi = carry
+            jb = ids_ref[0, 0, g * nsub_max + k]
+            nx = tc_ref[jb, 0:1, :]
+            ny = tc_ref[jb, 1:2, :]
+            nz = tc_ref[jb, 2:3, :]
+            nv0 = tc_ref[jb, 3:4, :]
+            wux = tc_ref[jb, 4:5, :]
+            wuy = tc_ref[jb, 5:6, :]
+            wuz = tc_ref[jb, 6:7, :]
+            bu = tc_ref[jb, 7:8, :]
+            wvx = tc_ref[jb, 8:9, :]
+            wvy = tc_ref[jb, 9:10, :]
+            wvz = tc_ref[jb, 10:11, :]
+            bv = tc_ref[jb, 11:12, :]
+            det = -(dx * nx + dy * ny + dz * nz)
+            ok_det = jnp.abs(det) >= eps
+            inv = 1.0 / jnp.where(ok_det, det, 1.0)
+            t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+            u = wux * px + wuy * py + wuz * pz + bu
+            v = wvx * px + wvy * py + wvz * pz + bv
+            ok = (
+                ok_det
+                & (jnp.minimum(u, v) >= eps)
+                & (u + v <= 1.0)
+                & (t >= eps)
+            )
+            t = jnp.where(ok, t, big)
+            idx = jb * SUB + lane_iota
+            # Strict <: the earlier (lower Morton-sorted) sub-block wins
+            # ties, preserving the first-wins rule across the carry.
+            better = t < bt
+            return (jnp.where(better, t, bt), jnp.where(better, idx, bi))
+
+        init = (jnp.full((8, 128), big, jnp.float32),
+                jnp.full((8, 128), NO_HIT, jnp.int32))
+        bt, bi = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body, init)
+
+        # ONE cross-lane fold per bundle finishes all 8 rays: lowest index
+        # among equal-t lanes = first in sorted order.
+        tmin = jnp.min(bt, axis=1, keepdims=True)               # (8, 1)
+        cand = jnp.where(bt == tmin, bi, _INT_BIG)
+        imin = jnp.min(cand, axis=1, keepdims=True)
+        imin = jnp.where(tmin < big, imin, NO_HIT)
+        t_ref[0, :, g:g + 1] = tmin
+        idx_ref[0, :, g:g + 1] = imin
+
+    # Python-unrolled: g indexes VMEM output lanes, which must be static.
+    for g in range(num_groups):
+        group_body(g)
+
+
+def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
+    """Any-hit variant: int32 OR-fold, t < t_limit window, no index carry."""
+    eps = eps_ref[0]
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    num_groups = rays_ref.shape[2] // (8 * COHERENT)
+    nsub_max = ids_ref.shape[2] // num_groups
+
+    def group_body(g):
+        ox, oy, oz, dx, dy, dz, tlim = _build_ray_tiles(
+            rays_ref, g, 7, sub_iota)
+
+        def block_body(k, occ):
+            jb = ids_ref[0, 0, g * nsub_max + k]
+            nx = tc_ref[jb, 0:1, :]
+            ny = tc_ref[jb, 1:2, :]
+            nz = tc_ref[jb, 2:3, :]
+            nv0 = tc_ref[jb, 3:4, :]
+            wux = tc_ref[jb, 4:5, :]
+            wuy = tc_ref[jb, 5:6, :]
+            wuz = tc_ref[jb, 6:7, :]
+            bu = tc_ref[jb, 7:8, :]
+            wvx = tc_ref[jb, 8:9, :]
+            wvy = tc_ref[jb, 9:10, :]
+            wvz = tc_ref[jb, 10:11, :]
+            bv = tc_ref[jb, 11:12, :]
+            det = -(dx * nx + dy * ny + dz * nz)
+            ok_det = jnp.abs(det) >= eps
+            inv = 1.0 / jnp.where(ok_det, det, 1.0)
+            t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+            px = ox + t * dx
+            py = oy + t * dy
+            pz = oz + t * dz
+            u = wux * px + wuy * py + wuz * pz + bu
+            v = wvx * px + wvy * py + wvz * pz + bv
+            ok = (
+                ok_det
+                & (jnp.minimum(u, v) >= eps)
+                & (u + v <= 1.0)
+                & (t >= eps) & (t < tlim)
+            )
+            return jnp.maximum(occ, jnp.where(ok, 1, 0))
+
+        occ = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body,
+                                jnp.zeros((8, 128), jnp.int32))
+        occ_ref[0, :, g:g + 1] = jnp.max(occ, axis=1, keepdims=True)
+
+    for g in range(num_groups):
+        group_body(g)
+
+
+def _prep(o, d, aabbs, t_limit):
+    """Pad rays, cull, and compact ascending per-bundle sub-block lists."""
+    r = o.shape[0]
+    pad = (-r) % RAY_GROUP
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype), (pad, 1))]
+        )
+        if t_limit is not None:
+            t_limit = jnp.concatenate(
+                [t_limit, jnp.full((pad,), -1.0, t_limit.dtype)]
+            )
+    rp = r + pad
+    nsub = aabbs.shape[1]
+    mask = block_cull_mask(o, d, aabbs, t_limit)
+    gmask = jnp.any(mask.reshape(rp // COHERENT, COHERENT, nsub), axis=1)
+    ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
+
+    groups_per_step = RAY_GROUP // COHERENT
+    comps = [o, d] if t_limit is None else [o, d, t_limit[:, None]]
+    width = 8
+    have = sum(c.shape[1] for c in comps)
+    comps.append(jnp.zeros((rp, width - have), o.dtype))
+    rays = jnp.concatenate(comps, axis=1)
+    rays = rays.reshape(rp // RAY_GROUP, 1, RAY_GROUP * 8)
+    ids = ids.reshape(rp // RAY_GROUP, 1, groups_per_step * nsub)
+    cnt = cnt.reshape(rp // RAY_GROUP, 1, groups_per_step)
+    return rays, ids, cnt, rp, nsub, groups_per_step
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False):
+    r = o.shape[0]
+    rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit)
+    grid = rp // RAY_GROUP
+    out = pl.pallas_call(
+        _tile_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 1, RAY_GROUP * 8), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, groups * nsub), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, groups), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(tc.shape, lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, COHERENT, groups), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, COHERENT, groups), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, COHERENT, groups), jnp.float32),
+            jax.ShapeDtypeStruct((grid, COHERENT, groups), jnp.int32),
+        ],
+        interpret=interpret,
+    )(eps, rays, ids, cnt, tc)
+    # Element [step, s, g] = ray step*RAY_GROUP + g*COHERENT + s.
+    best_t = out[0].transpose(0, 2, 1).reshape(-1)[:r]
+    best_i = out[1].transpose(0, 2, 1).reshape(-1)[:r]
+    return best_t, best_i
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _tile_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False):
+    r = o.shape[0]
+    rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit)
+    grid = rp // RAY_GROUP
+    out = pl.pallas_call(
+        _occl_tile_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, 1, RAY_GROUP * 8), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, groups * nsub), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, groups), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(tc.shape, lambda i, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, COHERENT, groups), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, COHERENT, groups), jnp.int32),
+        ],
+        interpret=interpret,
+    )(eps, rays, ids, cnt, tc)
+    return out[0].transpose(0, 2, 1).reshape(-1)[:r] > 0
+
+
+def _sliced(tris: TriangleBuffer):
+    """Cluster-sort + slice into resident segments; yields packed tables."""
+    clustered = build_clusters(tris)
+    sorted_tris, perm = clustered.tris, clustered.perm
+    seg = TILE_TRI_LIMIT
+    nseg = -(-tris.capacity // seg)
+    pad = nseg * seg - tris.capacity
+    if pad:
+        filler = TriangleBuffer.empty(pad)
+        sorted_tris = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), sorted_tris, filler
+        )
+        perm = jnp.concatenate([perm, jnp.full((pad,), NO_HIT, jnp.int32)])
+    for k in range(nseg):
+        sl = jax.tree.map(lambda a: a[k * seg:(k + 1) * seg], sorted_tris)
+        perm_k = perm[k * seg:(k + 1) * seg]
+        tc, aabbs, _ = _pack_sub(sl, perm_k)
+        yield tc, aabbs, perm_k
+
+
+def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
+                    t_limit: jax.Array = None):
+    """tri_search hook (core/intersect.py contract): (best_t, orig idx)."""
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
+    if tris.capacity <= TILE_TRI_LIMIT:
+        tc, aabbs, perm = tri_constants_sub(tris)
+        best_t, sorted_idx = _tile_search(o, d, tc, aabbs, eps_arr, t_limit,
+                                          interpret)
+        orig = jnp.take(perm, jnp.maximum(sorted_idx, 0))
+        return best_t, jnp.where(sorted_idx >= 0, orig, NO_HIT)
+
+    r = o.shape[0]
+    best_t = jnp.full((r,), BIG, jnp.float32)
+    best_i = jnp.full((r,), NO_HIT, jnp.int32)
+    for tc, aabbs, perm_k in _sliced(tris):
+        t_k, idx_k = _tile_search(o, d, tc, aabbs, eps_arr, t_limit, interpret)
+        orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
+        orig_k = jnp.where(idx_k >= 0, orig_k, NO_HIT)
+        better = t_k < best_t  # earlier segment wins ties (first-wins)
+        best_t = jnp.where(better, t_k, best_t)
+        best_i = jnp.where(better, orig_k, best_i)
+    return best_t, best_i
+
+
+def tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
+                   tris: TriangleBuffer, eps) -> jax.Array:
+    """Occlusion [R] bool: any accepted hit in (eps, t_limit)."""
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
+    if tris.capacity <= TILE_TRI_LIMIT:
+        tc, aabbs, _ = tri_constants_sub(tris)
+        return _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
+    occluded = jnp.zeros((o.shape[0],), bool)
+    for tc, aabbs, _ in _sliced(tris):
+        occluded |= _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
+    return occluded
+
+
+tile_tri_search.occlusion = tile_occlusion

@@ -1,0 +1,111 @@
+"""Fused frame kernel parity (interpret mode on CPU).
+
+The fused kernel replays the whole shade pipeline in one Pallas program,
+so the test strategy is end-image equality against the lane/jnp XLA path
+— the same cross-backend golden method the reference used for its ISPC
+kernel (SURVEY.md §4). The RNG is counter-based and replicated bit-for-
+bit in-kernel, so images must agree to float rounding, not statistics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box, render
+from esctp1raytracer_tpu.core.render import trace_rays
+from esctp1raytracer_tpu.kernels.fused_pallas import (
+    FUSED_TRI_LIMIT,
+    fused_supported,
+)
+from esctp1raytracer_tpu.scene.builders import (
+    cornell_variant,
+    mesh_scene,
+    mixed_scene,
+)
+
+CAM = Camera.look_at((0, 1, 2), (0, 1, 0), aspect=4 / 3)
+
+
+def _frames(scene, cam=CAM, w=64, h=48, seed=0, **kw):
+    ref_cfg = RenderConfig(backend="lane", seed=seed, **kw)
+    fus_cfg = ref_cfg.replace(backend="fused")
+    a = np.asarray(render(scene, cam, w, h, ref_cfg))
+    b = np.asarray(render(scene, cam, w, h, fus_cfg))
+    return a, b
+
+
+def _assert_close(a, b, atol=3e-5, flip_frac=2e-3):
+    """Equal up to float rounding; borderline eps-window / occlusion flips
+    may move a handful of pixels, so compare the agreeing set tightly and
+    bound the disagreeing fraction."""
+    diff = np.abs(a - b).max(axis=-1)
+    flipped = diff > 1e-2
+    assert flipped.mean() <= flip_frac, f"{flipped.mean():.4f} pixels flipped"
+    assert np.abs(a[~flipped] - b[~flipped]).max() <= atol
+
+
+class TestFusedParity:
+    def test_cornell_matches_lane(self):
+        a, b = _frames(cornell_box())
+        _assert_close(a, b)
+        assert b.sum() > 1.0  # non-trivial image
+
+    def test_variant_scenes(self):
+        for name in ("mirror", "glossy"):
+            a, b = _frames(cornell_variant(name))
+            _assert_close(a, b)
+
+    def test_sphere_scene(self):
+        scene = mixed_scene()  # triangles + spheres + light
+        cam = Camera.look_at((0, 2, 6), (0, 1, 0), aspect=4 / 3)
+        a, b = _frames(scene, cam)
+        _assert_close(a, b)
+
+    def test_mesh_scene_with_smooth_normals(self):
+        scene = mesh_scene(subdivisions=2)
+        cam = Camera.look_at((0, 2, 6), (0, 1, 0), aspect=4 / 3)
+        a, b = _frames(scene, cam)
+        _assert_close(a, b)
+
+    def test_seed_and_shifted_ids(self):
+        """RNG parity: a different seed and non-arange ray ids must still
+        agree draw-for-draw (bench shifts ids per frame)."""
+        scene = cornell_box()
+        o, d = CAM.ray_grid(32, 24)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        ids = jnp.arange(o.shape[0], dtype=jnp.uint32) + jnp.uint32(7)
+        ref = trace_rays(o, d, scene, ids,
+                         RenderConfig(backend="lane", seed=3))
+        fus = trace_rays(o, d, scene, ids,
+                         RenderConfig(backend="fused", seed=3))
+        _assert_close(np.asarray(ref).reshape(24, 32, 3),
+                      np.asarray(fus).reshape(24, 32, 3))
+
+    def test_nonmultiple_ray_count(self):
+        scene = cornell_box()
+        o, d = CAM.ray_grid(33, 17)  # 561 rays, not a tile multiple
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        out = trace_rays(o, d, scene, ids, RenderConfig(backend="fused"))
+        assert out.shape == (561, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFusedGate:
+    def test_supported_static_gate(self):
+        scene = cornell_box()
+        assert fused_supported(scene, 1, "area")
+        assert not fused_supported(scene, 2, "area")
+        assert not fused_supported(scene, 1, "reference_cpp")
+        assert scene.triangles.capacity <= FUSED_TRI_LIMIT
+
+    def test_fallback_on_unsupported(self):
+        """depth=2 with backend='fused' must fall back to the lane path and
+        equal it exactly (same XLA program)."""
+        scene = cornell_box()
+        a = np.asarray(render(scene, CAM, 32, 24,
+                              RenderConfig(backend="lane", depth=2)))
+        b = np.asarray(render(scene, CAM, 32, 24,
+                              RenderConfig(backend="fused", depth=2)))
+        np.testing.assert_array_equal(a, b)
