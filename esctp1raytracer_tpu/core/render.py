@@ -48,7 +48,7 @@ class RenderConfig:
     shadow_eps: float = 1e-4
     block_size: int = 512
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
-    backend: str = "jnp"  # "jnp"|"mxu"|"pallas"|"lane"|"fused"|"auto"
+    backend: str = "jnp"  # "jnp"|"mxu"|"pallas"|"tile"|"lane"|"fused"|"auto"
     seed: int = 0
     # "area" = corrected ISPC-style area-light sampling;
     # "reference_cpp" = bit-faithful reproduction of the C++ path's
@@ -73,10 +73,13 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
         # Small tables: the ray-lane brute-force kernel (every VPU lane a
         # ray, scalar loop over triangles) — its cost scales with N and
         # beats both the bundle kernel's per-ray floor and the MXU path's
-        # [R, N] HBM intermediates. Large tables: the culled bundle kernel
-        # (beyond VMEM capacity it slices the sorted table into resident
-        # segments), so there is no upper cutoff.
-        backend = "lane" if n < 4096 else "pallas"
+        # [R, N] HBM intermediates. Large tables: the (8 rays x 128 tris)
+        # tile kernel — its 128-triangle cull granularity tests ~3.6x
+        # fewer pairs than the 1024-wide bundle kernel (measured 185 vs
+        # 233 ms on the flagship sweep, scripts/probe_tile.py); beyond
+        # VMEM capacity it slices the sorted table into resident
+        # segments, so there is no upper cutoff.
+        backend = "lane" if n < 4096 else "tile"
     if backend == "lane":
         from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
 
@@ -149,10 +152,10 @@ def trace_rays(
         if fused_supported(scene, cfg.depth, cfg.light_mode):
             return fused_trace(o, d, scene, ray_ids, cfg)
         # Unsupported shape (depth>1, reference_cpp sampling, no lights,
-        # or an over-limit table): fall back to the lane/bundle path.
+        # or an over-limit table): fall back to the lane/tile path.
         cfg = cfg.replace(
             backend="lane"
-            if scene.triangles.capacity <= 4096 else "pallas"
+            if scene.triangles.capacity <= 4096 else "tile"
         )
     backend_search, use_mxu = _search_fns(cfg, scene)
     if tri_search is None:

@@ -108,16 +108,16 @@ def _pack_sub(sorted_tris: TriangleBuffer, perm: jax.Array):
     return tc, aabbs, perm
 
 
-def _build_ray_tiles(rays_ref, g, ncomp, sub_iota):
+def _build_ray_tiles(rays_ref, g, comps, sub_iota):
     """(8, 128) register per component: sublane s = ray s of bundle g."""
-    comps = []
-    for c in range(ncomp):
+    out = []
+    for c in comps:
         acc = jnp.zeros((8, 128), jnp.float32)
         for s in range(COHERENT):
             scal = rays_ref[0, 0, (g * COHERENT + s) * 8 + c]
             acc = jnp.where(sub_iota == s, scal, acc)
-        comps.append(acc)
-    return comps
+        out.append(acc)
+    return out
 
 
 def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
@@ -129,7 +129,8 @@ def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
     nsub_max = ids_ref.shape[2] // num_groups
 
     def group_body(g):
-        ox, oy, oz, dx, dy, dz = _build_ray_tiles(rays_ref, g, 6, sub_iota)
+        ox, oy, oz, dx, dy, dz = _build_ray_tiles(rays_ref, g, range(6),
+                                                  sub_iota)
 
         def block_body(k, carry):
             bt, bi = carry
@@ -195,7 +196,7 @@ def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
 
     def group_body(g):
         ox, oy, oz, dx, dy, dz, tlim = _build_ray_tiles(
-            rays_ref, g, 7, sub_iota)
+            rays_ref, g, range(7), sub_iota)
 
         def block_body(k, occ):
             jb = ids_ref[0, 0, g * nsub_max + k]

@@ -127,14 +127,14 @@ class TestAutoBackend:
         search, use_mxu = _search_fns(RenderConfig(backend="auto"), cornell)
         assert search is lane_tri_search  # ray-lane kernel below 4k tris
 
-    def test_auto_picks_pallas_for_big_scenes(self):
+    def test_auto_picks_tile_for_big_scenes(self):
         from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
-        from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
+        from esctp1raytracer_tpu.kernels.rt_tile import tile_tri_search
         from esctp1raytracer_tpu.scene.builders import mesh_scene
 
         scene = mesh_scene(subdivisions=4)  # ~5.6k triangles
         search, _ = _search_fns(RenderConfig(backend="auto"), scene)
-        assert search is pallas_tri_search
+        assert search is tile_tri_search
 
     def test_auto_renders(self, cornell):
         img = _img(cornell, CAM, 32, RenderConfig(backend="auto"))
