@@ -144,19 +144,21 @@ def trace_rays(
              ray_ids.reshape(-1, chunk)),
         )
         return color.reshape(-1, 3)[:r]
-    if cfg.backend == "fused" and tri_search is None:
+    if cfg.backend in ("fused", "auto") and tri_search is None:
         from esctp1raytracer_tpu.kernels.fused_pallas import (
-            fused_supported, fused_trace,
+            _fallback_cfg, fused_supported, fused_trace_diff,
         )
 
         if fused_supported(scene, cfg.depth, cfg.light_mode):
-            return fused_trace(o, d, scene, ray_ids, cfg)
-        # Unsupported shape (depth>1, reference_cpp sampling, no lights,
-        # or an over-limit table): fall back to the lane/tile path.
-        cfg = cfg.replace(
-            backend="lane"
-            if scene.triangles.capacity <= 4096 else "tile"
-        )
+            # Whole-frame kernel (primary + shadow + shading in ONE
+            # Pallas call — Cornell 5.5 vs 39 ms on the lane path);
+            # differentiable via its custom VJP (XLA-path re-derivation
+            # at identical draws), so "auto" is grad-safe.
+            return fused_trace_diff(o, d, scene, ray_ids, cfg)
+        if cfg.backend == "fused":
+            # Unsupported shape (depth>1, reference_cpp sampling, no
+            # lights, or an over-limit table): lane/tile fallback.
+            cfg = _fallback_cfg(scene, cfg)
     backend_search, use_mxu = _search_fns(cfg, scene)
     if tri_search is None:
         tri_search = backend_search

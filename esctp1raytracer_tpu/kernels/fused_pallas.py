@@ -488,3 +488,42 @@ def fused_trace(o: jax.Array, d: jax.Array, scene: Scene,
         F=scene.lights.max_faces, seed=cfg.seed, eps=float(cfg.eps),
         shadow_eps=float(cfg.shadow_eps), interpret=interpret,
     )
+
+
+def _fallback_cfg(scene: Scene, cfg):
+    """The non-fused backend the differentiable path uses (render.py)."""
+    return cfg.replace(
+        backend="lane" if scene.triangles.capacity <= 4096 else "tile"
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_trace_diff(o, d, scene, ray_ids, cfg):
+    """`fused_trace` with gradients: the forward primal is the fused
+    frame kernel; the VJP re-derives through the XLA shading path at the
+    same draws (the fused kernel is draw-for-draw identical to the
+    lane/tile backend, so the recomputed forward matches the primal).
+    This lets backend="auto" route eligible scenes to the fused kernel
+    without breaking `jax.grad` through `render`/`trace_rays`."""
+    return fused_trace(o, d, scene, ray_ids, cfg)
+
+
+def _fused_diff_fwd(o, d, scene, ray_ids, cfg):
+    return fused_trace(o, d, scene, ray_ids, cfg), (o, d, scene, ray_ids)
+
+
+def _fused_diff_bwd(cfg, res, ct):
+    from esctp1raytracer_tpu.core.render import trace_rays
+
+    o, d, scene, ray_ids = res
+    fb = _fallback_cfg(scene, cfg)
+    _, vjp = jax.vjp(
+        lambda oo, dd, sc: trace_rays(oo, dd, sc, ray_ids, fb), o, d, scene
+    )
+    do, dd, dscene = vjp(ct)
+    # uint32 ray ids carry no tangent: the float0 cotangent is JAX's
+    # required stand-in for integer primals.
+    return do, dd, dscene, np.zeros(ray_ids.shape, jax.dtypes.float0)
+
+
+fused_trace_diff.defvjp(_fused_diff_fwd, _fused_diff_bwd)

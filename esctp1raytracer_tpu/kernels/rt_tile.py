@@ -47,7 +47,10 @@ from esctp1raytracer_tpu.scene.types import TriangleBuffer
 RAY_GROUP = 128          # rays per grid step (SMEM-resident scalars)
 COHERENT = 8             # rays per bundle = the 8 sublanes of a tile
 SUB = 128                # triangles per sub-block = the 128 lanes
-TILE_TRI_LIMIT = 98_304  # NSUB=768: [768,16,128] f32 = 6.3 MB VMEM resident
+TILE_TRI_LIMIT = 131_072  # NSUB=1024: [1024,16,128] f32 = 8.4 MB VMEM resident
+# (~16 MB/core VMEM total; rays/ids/cnt SMEM + (8, groups) outputs are small,
+# so the constant table can take half of VMEM. 1024 sub-blocks covers the
+# BASELINE 100k-triangle config in ONE resident segment — no slicing.)
 
 _INT_BIG = np.int32(2**31 - 1)
 
@@ -237,6 +240,37 @@ def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
         group_body(g)
 
 
+# The cull pre-pass materializes [rays, NSUB] slab-test intermediates in
+# HBM; at 128-triangle granularity NSUB is 8x the bundle kernel's block
+# count and 2M rays x 784 sub-blocks = 6.9 GB per temp — an HBM OOM at
+# compile time. Cap the per-chunk element count (~768 MB of f32 temps)
+# and stream the pre-pass with lax.map beyond it; the compacted lists
+# land in one flat [bundles, NSUB] buffer either way.
+_PREPASS_ELEMS = 192 * 1024 * 1024
+
+# Coarse-cull fallback: above _CULL_COLS sub-blocks the pre-pass culls at
+# merged-sub-block granularity (adjacent Morton sub-blocks union in powers
+# of two until <= _CULL_COLS columns) and the compacted list expands x
+# group host-side; the kernel sweeps 128-triangle sub-blocks either way.
+# MEASURED NEGATIVE at the BASELINE 4K x 100k config: 98-column coarse
+# lists made the forward 4.88 s vs 2.91 s with full 784-column fine lists
+# — fine culling saves far more kernel sweep time than the wider
+# per-bundle argsort costs — so the default (1024 = the per-segment
+# maximum, since TILE_TRI_LIMIT/SUB = 1024) never coarsens. Kept, tested
+# (tests/test_rt_tile.py), and tunable for future shapes.
+_CULL_COLS = 1024
+
+
+def _cull_lists(o, d, t_limit, aabbs):
+    """Per-bundle compacted ascending sub-block lists for one ray chunk."""
+    nsub = aabbs.shape[1]
+    mask = block_cull_mask(o, d, aabbs, t_limit)
+    gmask = jnp.any(mask.reshape(-1, COHERENT, nsub), axis=1)
+    ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
+    cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
+    return ids, cnt
+
+
 def _prep(o, d, aabbs, t_limit):
     """Pad rays, cull, and compact ascending per-bundle sub-block lists."""
     r = o.shape[0]
@@ -252,10 +286,59 @@ def _prep(o, d, aabbs, t_limit):
             )
     rp = r + pad
     nsub = aabbs.shape[1]
-    mask = block_cull_mask(o, d, aabbs, t_limit)
-    gmask = jnp.any(mask.reshape(rp // COHERENT, COHERENT, nsub), axis=1)
-    ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
-    cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
+
+    group = 1
+    while nsub // group > _CULL_COLS and nsub % (group * 2) == 0:
+        group *= 2
+    nc = nsub // group
+    if group > 1:
+        # Coarse cull AABBs: union of each run of `group` adjacent
+        # (Morton-ordered, so spatially coherent) sub-block boxes.
+        # Inverted empty-box sentinels (+big/-big) stay inverted.
+        cmin = jnp.min(aabbs[0:3].reshape(3, nc, group), axis=2)
+        cmax = jnp.max(aabbs[3:6].reshape(3, nc, group), axis=2)
+        aabbs = jnp.concatenate(
+            [cmin, cmax, jnp.zeros((2, nc), jnp.float32)], axis=0
+        )
+
+    if rp * nc <= _PREPASS_ELEMS:
+        ids, cnt = _cull_lists(o, d, t_limit, aabbs)
+    else:
+        chunk = max(RAY_GROUP, (_PREPASS_ELEMS // nc) // RAY_GROUP * RAY_GROUP)
+        cpad = (-rp) % chunk
+        oc, dc, tlc = o, d, t_limit
+        if cpad:
+            oc = jnp.concatenate([oc, jnp.zeros((cpad, 3), o.dtype)])
+            dc = jnp.concatenate(
+                [dc, jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], d.dtype),
+                              (cpad, 1))]
+            )
+            if t_limit is not None:
+                tlc = jnp.concatenate(
+                    [tlc, jnp.full((cpad,), -1.0, t_limit.dtype)]
+                )
+        nch = (rp + cpad) // chunk
+        if t_limit is None:
+            ids, cnt = jax.lax.map(
+                lambda a: _cull_lists(a[0], a[1], None, aabbs),
+                (oc.reshape(nch, chunk, 3), dc.reshape(nch, chunk, 3)),
+            )
+        else:
+            ids, cnt = jax.lax.map(
+                lambda a: _cull_lists(a[0], a[1], a[2], aabbs),
+                (oc.reshape(nch, chunk, 3), dc.reshape(nch, chunk, 3),
+                 tlc.reshape(nch, chunk)),
+            )
+        ids = ids.reshape(-1, nc)[: rp // COHERENT]
+        cnt = cnt.reshape(-1)[: rp // COHERENT]
+
+    if group > 1:
+        # Expand each coarse id into its `group` ascending sub-block ids;
+        # compacted-prefix order (and so the first-wins tie rule) holds.
+        ids = (ids[:, :, None] * group
+               + jnp.arange(group, dtype=jnp.int32)[None, None, :]
+               ).reshape(-1, nsub)
+        cnt = cnt * group
 
     groups_per_step = RAY_GROUP // COHERENT
     comps = [o, d] if t_limit is None else [o, d, t_limit[:, None]]

@@ -92,6 +92,52 @@ class TestFusedParity:
         assert np.isfinite(np.asarray(out)).all()
 
 
+class TestFusedGrad:
+    def test_grad_matches_lane_backend(self):
+        """jax.grad through backend='fused'/'auto' must equal the lane
+        path's gradient exactly: the custom VJP re-derives through the
+        XLA pipeline at the same draws."""
+        import jax
+
+        from esctp1raytracer_tpu.parallel.sharding import (
+            float_params,
+            merge_params,
+        )
+
+        scene = cornell_box()
+        o, d = CAM.ray_grid(16, 12)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        params = float_params(scene)
+
+        def loss(ps, backend):
+            sc = merge_params(scene, ps)
+            c = trace_rays(o, d, sc, ids, RenderConfig(backend=backend))
+            return jnp.sum(c * c)
+
+        g_lane = jax.grad(lambda ps: loss(ps, "lane"))(params)
+        g_fused = jax.grad(lambda ps: loss(ps, "fused"))(params)
+        g_auto = jax.grad(lambda ps: loss(ps, "auto"))(params)
+        # auto routes to the same custom-VJP program as explicit fused.
+        for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_auto)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # vs the pure lane path the cotangent seeds differ by the float
+        # rounding of the primal image (sum(c*c) -> ct = 2c), so compare
+        # with a rounding-scale tolerance on same-sign dominant entries.
+        for a, b in zip(jax.tree.leaves(g_lane), jax.tree.leaves(g_fused)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.maximum(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3)
+
+    def test_auto_routes_small_scene_to_fused(self):
+        """backend='auto' on an eligible scene must produce the fused
+        kernel's image (bit-equal to an explicit backend='fused' call)."""
+        scene = cornell_box()
+        a = np.asarray(render(scene, CAM, 32, 24, RenderConfig(backend="fused")))
+        b = np.asarray(render(scene, CAM, 32, 24, RenderConfig(backend="auto")))
+        np.testing.assert_array_equal(a, b)
+
+
 class TestFusedGate:
     def test_supported_static_gate(self):
         scene = cornell_box()

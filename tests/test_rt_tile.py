@@ -71,6 +71,55 @@ class TestTileKernel:
         np.testing.assert_allclose(np.asarray(t_sl), np.asarray(t_ref),
                                    rtol=0, atol=0)
 
+    def test_chunked_prepass_matches_single_shot(self, monkeypatch):
+        """Beyond _PREPASS_ELEMS the cull pre-pass streams in lax.map
+        chunks (the 4K x 100k-tri HBM-OOM fix); the compacted lists, and
+        therefore every result, must be identical to the one-shot path."""
+        from esctp1raytracer_tpu.kernels import rt_tile
+
+        scene = mesh_scene(subdivisions=3)
+        o, d = CAM.ray_grid(48, 48)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t_ref, p_ref = tile_tri_search(o, d, scene.triangles, EPS)
+        t_lim = jnp.full((o.shape[0],), 2.0, jnp.float32)
+        occ_ref = tile_occlusion(o, d, t_lim, scene.triangles, EPS)
+        # force ~9 chunks (2304 rays, 16 sub-blocks -> 36864 elems); the
+        # jitted wrappers cache on shapes, so drop their executables or
+        # the patched global would never be re-read.
+        monkeypatch.setattr(rt_tile, "_PREPASS_ELEMS", 4096)
+        rt_tile._tile_search.clear_cache()
+        rt_tile._tile_occl.clear_cache()
+        t_ch, p_ch = tile_tri_search(o, d, scene.triangles, EPS)
+        occ_ch = tile_occlusion(o, d, t_lim, scene.triangles, EPS)
+        rt_tile._tile_search.clear_cache()
+        rt_tile._tile_occl.clear_cache()
+        np.testing.assert_array_equal(np.asarray(p_ch), np.asarray(p_ref))
+        np.testing.assert_array_equal(np.asarray(t_ch), np.asarray(t_ref))
+        np.testing.assert_array_equal(np.asarray(occ_ch), np.asarray(occ_ref))
+
+    def test_coarse_cull_matches_fine(self, monkeypatch):
+        """Big tables cull at merged-sub-block granularity (<= _CULL_COLS
+        argsort columns) and expand the list x group; winners must equal
+        the fine-granularity path exactly (a coarser list is a superset)."""
+        from esctp1raytracer_tpu.kernels import rt_tile
+
+        scene = mesh_scene(subdivisions=3)  # capacity 2048 -> 16 sub-blocks
+        o, d = CAM.ray_grid(48, 48)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t_ref, p_ref = tile_tri_search(o, d, scene.triangles, EPS)
+        t_lim = jnp.full((o.shape[0],), 2.0, jnp.float32)
+        occ_ref = tile_occlusion(o, d, t_lim, scene.triangles, EPS)
+        monkeypatch.setattr(rt_tile, "_CULL_COLS", 4)  # force group = 4
+        rt_tile._tile_search.clear_cache()
+        rt_tile._tile_occl.clear_cache()
+        t_co, p_co = tile_tri_search(o, d, scene.triangles, EPS)
+        occ_co = tile_occlusion(o, d, t_lim, scene.triangles, EPS)
+        rt_tile._tile_search.clear_cache()
+        rt_tile._tile_occl.clear_cache()
+        np.testing.assert_array_equal(np.asarray(p_co), np.asarray(p_ref))
+        np.testing.assert_array_equal(np.asarray(t_co), np.asarray(t_ref))
+        np.testing.assert_array_equal(np.asarray(occ_co), np.asarray(occ_ref))
+
     def test_occlusion_matches_search(self, cornell):
         o, d = CAM.ray_grid(32, 32)
         o, d = o.reshape(-1, 3), d.reshape(-1, 3)
