@@ -33,6 +33,16 @@ from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
 CLUSTER = 128
 
+# Triangles whose AABB diagonal exceeds OVERSIZE_K x the scene median sort
+# AFTER all normally-sized ones (but before invalid padding). Rationale: a
+# huge triangle (ground plane, area light) whose centroid lands mid-Morton
+# poisons its 128-cluster — the cluster AABB grows to span the floor and
+# EVERY ray pays the whole block. Segregated, the few big triangles share
+# one block (usually alongside the invalid padding) and the dense mesh
+# clusters stay tight. Measured on the flagship 1080p x 10.2k-tri scene:
+# mean culled blocks/bundle 5.94 -> see ROOFLINE.md.
+OVERSIZE_K = 8.0
+
 
 def _expand_bits_10(x: jax.Array) -> jax.Array:
     """Spread 10 bits of x so there are two zeros between each (uint32)."""
@@ -73,6 +83,7 @@ class ClusteredTriangles:
     perm: jax.Array  # [N] int32, sorted -> original
     cluster_min: jax.Array  # [C, 3]
     cluster_max: jax.Array  # [C, 3]
+    oversized: jax.Array  # [N] bool (sorted order): diag > OVERSIZE_K x median
 
     @property
     def num_clusters(self) -> int:
@@ -83,10 +94,18 @@ def build_clusters(tris: TriangleBuffer) -> ClusteredTriangles:
     n = tris.capacity
     assert n % CLUSTER == 0, n
     centroid = (tris.v0 + tris.v1 + tris.v2) / 3.0
-    codes = morton_codes(centroid)
+    codes = morton_codes(centroid)  # 30-bit: always < 2^30
+    tmin, tmax = triangle_bounds(tris)
+    diag2 = jnp.sum((tmax - tmin) ** 2, axis=1)
+    med2 = jnp.median(jnp.where(tris.valid, diag2, 0.0))
+    oversized = diag2 > (OVERSIZE_K * OVERSIZE_K) * jnp.maximum(med2, 1e-30)
+    # Sort key segments: [normal | oversized | invalid]; Morton order is
+    # preserved within each segment (bit 30 flags oversized, < 0xFFFFFFFF).
+    codes = jnp.where(oversized, codes + jnp.uint32(1 << 30), codes)
     codes = jnp.where(tris.valid, codes, jnp.uint32(0xFFFFFFFF))
     perm = jnp.argsort(codes).astype(jnp.int32)
     sorted_tris = jax.tree.map(lambda a: jnp.take(a, perm, axis=0), tris)
+    oversized_sorted = jnp.take(oversized & tris.valid, perm)
 
     bmin, bmax = triangle_bounds(sorted_tris)
     # Invalid triangles get inverted boxes so their clusters never hit.
@@ -97,7 +116,8 @@ def build_clusters(tris: TriangleBuffer) -> ClusteredTriangles:
     cluster_min = jnp.min(bmin.reshape(c, CLUSTER, 3), axis=1)
     cluster_max = jnp.max(bmax.reshape(c, CLUSTER, 3), axis=1)
     return ClusteredTriangles(
-        tris=sorted_tris, perm=perm, cluster_min=cluster_min, cluster_max=cluster_max
+        tris=sorted_tris, perm=perm, cluster_min=cluster_min,
+        cluster_max=cluster_max, oversized=oversized_sorted,
     )
 
 

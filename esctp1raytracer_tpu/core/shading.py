@@ -211,7 +211,11 @@ def shade(
     l_vec = p_light - hit_p[:, None, :]  # [R, L, 3]
     dist = jnp.sqrt(jnp.maximum(jnp.sum(l_vec * l_vec, axis=-1), _TINY))  # [R, L]
     l_dir = l_vec / dist[..., None]
-    t_limit = dist - shadow_eps
+    d_nl = jnp.sum(normal[:, None, :] * l_dir, axis=-1)  # [R, L]
+    # Back-facing surface points (d_nl <= 0) are unlit regardless of
+    # occlusion (`visible` below), so their shadow query is dead work; a
+    # negative t_limit makes the culling backends drop the whole ray.
+    t_limit = jnp.where(d_nl > 0.0, dist - shadow_eps, -1.0)
 
     # Missed primary rays contribute nothing, but their shadow queries
     # would still traverse the scene. Park their origin far outside every
@@ -227,7 +231,6 @@ def shade(
         flat(t_limit),
     ).reshape(r, num_l)
 
-    d_nl = jnp.sum(normal[:, None, :] * l_dir, axis=-1)  # [R, L]
     h_vec = _normalize((normal[:, None, :] + l_dir) * 2.0)
     spec_dot = jnp.maximum(jnp.sum(normal[:, None, :] * h_vec, axis=-1), 0.0)
     # pow with a floor: grads stay finite at grazing angles; the value is

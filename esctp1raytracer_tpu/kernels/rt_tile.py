@@ -39,6 +39,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import dataclasses
+
 from esctp1raytracer_tpu.accel.clusters import build_clusters
 from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
 from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
@@ -54,32 +56,115 @@ TILE_TRI_LIMIT = 131_072  # NSUB=1024: [1024,16,128] f32 = 8.4 MB VMEM resident
 
 _INT_BIG = np.int32(2**31 - 1)
 
+# Oversized triangles (clusters.OVERSIZE_K x the median AABB diagonal —
+# ground planes, area lights) sort into a segregated trailing block
+# (clusters.py), which keeps the dense mesh blocks tight. For the
+# OCCLUSION pass they are additionally EXCLUDED from the kernel table and
+# swept by a one-pass XLA any-hit over at most OVER_CAP of them: their
+# shared block AABB (floor + light union) could never be t-limit-culled
+# out of a shadow bundle, while outside the kernel the floor dies to the
+# slab test's direction check and the light's tight box to the t_limit
+# window. For the PRIMARY search they stay in the kernel: one segregated
+# block amortized over (8,128) tiles is cheaper than an uncullable
+# 2.07M x OVER_CAP XLA argmin sweep (measured +27 ms at the flagship).
+OVER_CAP = 128
 
-def tri_constants_sub(tris: TriangleBuffer):
+
+def _clustered_tables(tris: TriangleBuffer):
+    """Cluster-sort + segregate oversized triangles.
+
+    Returns (sorted_tris, perm, exclude [N] bool in sorted order,
+    ov_buf TriangleBuffer[OVER_CAP], ov_orig [OVER_CAP] original indices).
+    """
+    clustered = build_clusters(tris)
+    st, perm, ov = clustered.tris, clustered.perm, clustered.oversized
+    n = tris.capacity
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # Sorted layout is [normal | oversized | invalid] (clusters.py keys),
+    # so the oversized run starts right after the normal ones; cap the
+    # exclusion at OVER_CAP (beyond that they stay in the kernel table).
+    n_norm = jnp.sum((st.valid & ~ov).astype(jnp.int32))
+    exclude = ov & (pos < n_norm + OVER_CAP)
+    idx = jnp.minimum(n_norm + jnp.arange(OVER_CAP, dtype=jnp.int32), n - 1)
+    ov_valid = jnp.take(exclude, idx)
+    ov_buf = jax.tree.map(lambda a: jnp.take(a, idx, axis=0), st)
+    ov_buf = dataclasses.replace(ov_buf, valid=ov_valid)
+    ov_orig = jnp.take(perm, idx)
+    return st, perm, exclude, ov_buf, ov_orig
+
+
+def _oversized_occl(o, d, t_limit, ov_buf: TriangleBuffer, eps):
+    """One-pass XLA any-hit over the excluded set: [R] bool.
+
+    Deliberately the SAME plane-constant formulation and op order as
+    `_occl_tile_kernel`'s block_body (not mt_intersect's cross-product
+    form), so the OR-merged result equals what the kernel would have
+    produced had these triangles stayed in the table.
+    """
+    v0, v1, v2 = ov_buf.v0, ov_buf.v1, ov_buf.v2
+    e1 = v1 - v0
+    e2 = v2 - v0
+    nrm = jnp.cross(e1, e2)
+    nrm = jnp.where(ov_buf.valid[:, None], nrm, 0.0)
+    nn = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
+    w_u = jnp.cross(e2, nrm) / nn
+    w_v = jnp.cross(nrm, e1) / nn
+    nv0 = jnp.sum(nrm * v0, axis=-1)[None]
+    bu = -jnp.sum(w_u * v0, axis=-1)[None]
+    bv = -jnp.sum(w_v * v0, axis=-1)[None]
+
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    nx, ny, nz = nrm[None, :, 0], nrm[None, :, 1], nrm[None, :, 2]
+    wux, wuy, wuz = w_u[None, :, 0], w_u[None, :, 1], w_u[None, :, 2]
+    wvx, wvy, wvz = w_v[None, :, 0], w_v[None, :, 1], w_v[None, :, 2]
+    det = -(dx * nx + dy * ny + dz * nz)
+    ok_det = jnp.abs(det) >= eps
+    inv = 1.0 / jnp.where(ok_det, det, 1.0)
+    t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = wux * px + wuy * py + wuz * pz + bu
+    v = wvx * px + wvy * py + wvz * pz + bv
+    ok = (ok_det & (jnp.minimum(u, v) >= eps) & (u + v <= 1.0) & (t >= eps)
+          & (t < t_limit[:, None]))
+    return jnp.any(ok, axis=1)
+
+
+def tri_constants_sub(tris: TriangleBuffer, exclude_oversized: bool = False):
     """Cluster-sort and pack constants at SUB granularity.
 
-    Returns (tc [NSUB, 16, 128], sub_aabbs [8, NSUB], perm [N]).
+    Returns (tc [NSUB, 16, 128], sub_aabbs [8, NSUB], perm [N],
+    ov_buf, ov_orig). With exclude_oversized the packed table rejects the
+    (up to OVER_CAP) oversized triangles — the occlusion path then ORs in
+    `_oversized_occl(ov_buf)`; the search path keeps them in-table.
     """
     n = tris.capacity
     pad = (-n) % SUB
-    clustered = build_clusters(tris)
-    sorted_tris, perm = clustered.tris, clustered.perm
+    sorted_tris, perm, exclude, ov_buf, ov_orig = _clustered_tables(tris)
     if pad:
         filler = TriangleBuffer.empty(pad)
         sorted_tris = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), sorted_tris, filler
         )
         perm = jnp.concatenate([perm, jnp.full((pad,), NO_HIT, jnp.int32)])
-    return _pack_sub(sorted_tris, perm)
+        exclude = jnp.concatenate([exclude, jnp.zeros((pad,), bool)])
+    tc, aabbs, perm = _pack_sub(
+        sorted_tris, perm, exclude if exclude_oversized else None)
+    return tc, aabbs, perm, ov_buf, ov_orig
 
 
-def _pack_sub(sorted_tris: TriangleBuffer, perm: jax.Array):
+def _pack_sub(sorted_tris: TriangleBuffer, perm: jax.Array, exclude=None):
     npad = sorted_tris.capacity
+    keep = sorted_tris.valid
+    if exclude is not None:
+        keep = keep & ~exclude
     e1 = sorted_tris.v1 - sorted_tris.v0
     e2 = sorted_tris.v2 - sorted_tris.v0
     nrm = jnp.cross(e1, e2)
-    # Invalid triangles: zero normal -> det == 0 -> rejected for free.
-    nrm = jnp.where(sorted_tris.valid[:, None], nrm, 0.0)
+    # Invalid/excluded triangles: zero normal -> det == 0 -> rejected free.
+    nrm = jnp.where(keep[:, None], nrm, 0.0)
     nn = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
     w_u = jnp.cross(e2, nrm) / nn
     w_v = jnp.cross(nrm, e1) / nn
@@ -90,7 +175,7 @@ def _pack_sub(sorted_tris: TriangleBuffer, perm: jax.Array):
         -jnp.sum(w_u * sorted_tris.v0, axis=-1),
         w_v[:, 0], w_v[:, 1], w_v[:, 2],
         -jnp.sum(w_v * sorted_tris.v0, axis=-1),
-        sorted_tris.valid.astype(jnp.float32),
+        keep.astype(jnp.float32),
     ]
     table = jnp.stack(rows, axis=0)  # [12, npad]
     table = jnp.concatenate(
@@ -101,8 +186,8 @@ def _pack_sub(sorted_tris: TriangleBuffer, perm: jax.Array):
 
     v = jnp.stack([sorted_tris.v0, sorted_tris.v1, sorted_tris.v2], axis=1)
     big = jnp.float32(1e30)
-    bmin = jnp.where(sorted_tris.valid[:, None], jnp.min(v, axis=1), big)
-    bmax = jnp.where(sorted_tris.valid[:, None], jnp.max(v, axis=1), -big)
+    bmin = jnp.where(keep[:, None], jnp.min(v, axis=1), big)
+    bmax = jnp.where(keep[:, None], jnp.max(v, axis=1), -big)
     blk_min = jnp.min(bmin.reshape(nsub, SUB, 3), axis=1)
     blk_max = jnp.max(bmax.reshape(nsub, SUB, 3), axis=1)
     aabbs = jnp.concatenate(
@@ -424,10 +509,13 @@ def _tile_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False):
     return out[0].transpose(0, 2, 1).reshape(-1)[:r] > 0
 
 
-def _sliced(tris: TriangleBuffer):
-    """Cluster-sort + slice into resident segments; yields packed tables."""
-    clustered = build_clusters(tris)
-    sorted_tris, perm = clustered.tris, clustered.perm
+def _sliced(tris: TriangleBuffer, exclude_oversized: bool = False):
+    """Cluster-sort + slice into resident segments; yields packed tables.
+
+    Returns (segments, ov_buf, ov_orig); with exclude_oversized the
+    caller ORs in `_oversized_occl(ov_buf)` once, outside the loop.
+    """
+    sorted_tris, perm, exclude, ov_buf, ov_orig = _clustered_tables(tris)
     seg = TILE_TRI_LIMIT
     nseg = -(-tris.capacity // seg)
     pad = nseg * seg - tris.capacity
@@ -437,11 +525,18 @@ def _sliced(tris: TriangleBuffer):
             lambda a, b: jnp.concatenate([a, b], axis=0), sorted_tris, filler
         )
         perm = jnp.concatenate([perm, jnp.full((pad,), NO_HIT, jnp.int32)])
-    for k in range(nseg):
-        sl = jax.tree.map(lambda a: a[k * seg:(k + 1) * seg], sorted_tris)
-        perm_k = perm[k * seg:(k + 1) * seg]
-        tc, aabbs, _ = _pack_sub(sl, perm_k)
-        yield tc, aabbs, perm_k
+        exclude = jnp.concatenate([exclude, jnp.zeros((pad,), bool)])
+
+    def segments():
+        for k in range(nseg):
+            sl = jax.tree.map(lambda a: a[k * seg:(k + 1) * seg], sorted_tris)
+            perm_k = perm[k * seg:(k + 1) * seg]
+            tc, aabbs, _ = _pack_sub(
+                sl, perm_k,
+                exclude[k * seg:(k + 1) * seg] if exclude_oversized else None)
+            yield tc, aabbs, perm_k
+
+    return segments(), ov_buf, ov_orig
 
 
 def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
@@ -450,7 +545,7 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
-        tc, aabbs, perm = tri_constants_sub(tris)
+        tc, aabbs, perm, _, _ = tri_constants_sub(tris)
         best_t, sorted_idx = _tile_search(o, d, tc, aabbs, eps_arr, t_limit,
                                           interpret)
         orig = jnp.take(perm, jnp.maximum(sorted_idx, 0))
@@ -459,7 +554,8 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     r = o.shape[0]
     best_t = jnp.full((r,), BIG, jnp.float32)
     best_i = jnp.full((r,), NO_HIT, jnp.int32)
-    for tc, aabbs, perm_k in _sliced(tris):
+    segments, _, _ = _sliced(tris)
+    for tc, aabbs, perm_k in segments:
         t_k, idx_k = _tile_search(o, d, tc, aabbs, eps_arr, t_limit, interpret)
         orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
         orig_k = jnp.where(idx_k >= 0, orig_k, NO_HIT)
@@ -475,12 +571,16 @@ def tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
-        tc, aabbs, _ = tri_constants_sub(tris)
-        return _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
-    occluded = jnp.zeros((o.shape[0],), bool)
-    for tc, aabbs, _ in _sliced(tris):
-        occluded |= _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
-    return occluded
+        tc, aabbs, _, ov_buf, _ = tri_constants_sub(
+            tris, exclude_oversized=True)
+        occluded = _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
+    else:
+        occluded = jnp.zeros((o.shape[0],), bool)
+        segments, ov_buf, _ = _sliced(tris, exclude_oversized=True)
+        for tc, aabbs, _ in segments:
+            occluded |= _tile_occl(o, d, t_limit, tc, aabbs, eps_arr,
+                                   interpret)
+    return occluded | _oversized_occl(o, d, t_limit, ov_buf, eps_arr)
 
 
 tile_tri_search.occlusion = tile_occlusion
