@@ -336,6 +336,41 @@ def argmin_hit(
     return best_t, prim, is_sphere & (best_t < BIG)
 
 
+def select_rows(table: jax.Array, idx: jax.Array, limit: int = 16) -> jax.Array:
+    """jnp.take(table, idx, axis=0), as a static select chain when the
+    table is tiny.
+
+    The take VJP is a scatter-add serialized over the ~2M update rows
+    (~25-30 ms on-chip at wavefront scale) REGARDLESS of the table size;
+    for a <= `limit`-row table the select chain's VJP is `rows` masked
+    reductions instead — effectively free. Value-identical to take.
+    """
+    n = table.shape[0]
+    if n > limit:
+        return jnp.take(table, idx, axis=0)
+    out = jnp.zeros(idx.shape + table.shape[1:], table.dtype)
+    for j in range(n):
+        out = jnp.where((idx == j)[..., None], table[j], out)
+    return out
+
+
+def packed_tri_table(tris: TriangleBuffer) -> jax.Array:
+    """[N, 32] per-triangle row: every field the shading path needs.
+
+    Layout: v0 v1 v2 (0:9) | n0 n1 n2 (9:18) | ka kd ks ke (18:30) |
+    ns (30) | has_normals (31). One table means the winner fetch is ONE
+    gather — and therefore ONE scatter-add in the VJP. The backward was
+    scatter-bound: each 2M-row scatter costs ~25-30 ms on-chip
+    (row-serialized, nearly independent of the row width), so
+    closest_hit and surface_attributes sharing a single gathered row
+    halves the backward's table-cotangent cost.
+    """
+    return jnp.concatenate(
+        [tris.v0, tris.v1, tris.v2, tris.n0, tris.n1, tris.n2,
+         tris.ka, tris.kd, tris.ks, tris.ke, tris.ns[:, None],
+         tris.has_normals[:, None].astype(jnp.float32)], axis=1)
+
+
 def closest_hit(
     o: jax.Array,
     d: jax.Array,
@@ -344,7 +379,8 @@ def closest_hit(
     block_size: int = 512,
     use_mxu: bool = True,
     tri_search=None,
-) -> HitRecord:
+    with_row: bool = False,
+):
     """Differentiable closest hit.
 
     The O(R*N) argmin search runs under stop_gradient; t/u/v are then
@@ -352,6 +388,10 @@ def closest_hit(
     (an O(R) gather), so gradients w.r.t. geometry flow only through the
     winner — the correct local derivative away from visibility
     discontinuities, at O(R) backward cost.
+
+    with_row=True additionally returns the winner's packed_tri_table row
+    [R, 32] so the shading path reuses this gather instead of issuing a
+    second one (one scatter-add instead of two in the backward).
     """
     # stop_gradient on the *inputs*: differentiation must never trace into
     # the search (the Pallas kernel has no JVP rule, and the O(R*N) scan
@@ -362,10 +402,9 @@ def closest_hit(
     )
     safe_prim = jnp.maximum(prim, 0)
 
-    # One packed gather (one scatter-add in the VJP) instead of three.
-    tri_packed = jnp.concatenate(
-        [scene.triangles.v0, scene.triangles.v1, scene.triangles.v2], axis=1)
-    trow = jnp.take(tri_packed, safe_prim, axis=0)  # [R, 9]
+    # One packed gather (one scatter-add in the VJP) for everything the
+    # pipeline needs from the winner, shading fields included.
+    trow = jnp.take(packed_tri_table(scene.triangles), safe_prim, axis=0)
     t_tri, u_tri, v_tri, _ = mt_intersect(
         o, d, trow[:, 0:3], trow[:, 3:6], trow[:, 6:9], eps)
     # Borderline winners can be accepted by the (differently-rounded)
@@ -382,7 +421,7 @@ def closest_hit(
     sphere_prim = jnp.where(is_s, safe_prim, 0)
     sph_packed = jnp.concatenate(
         [scene.spheres.center, scene.spheres.radius[:, None]], axis=1)
-    srow = jnp.take(sph_packed, sphere_prim, axis=0)  # [R, 4]
+    srow = select_rows(sph_packed, sphere_prim)  # [R, 4]
     c, r = srow[:, 0:3], srow[:, 3]
     m = is_s[:, None]
     o_s = jnp.where(m, o, jnp.asarray([0.0, 0.0, 3.0], o.dtype))
@@ -397,7 +436,8 @@ def closest_hit(
     t = jnp.where(hit, t, BIG)
     u = jnp.where(hit & ~is_sphere, u_tri, 0.0)
     v = jnp.where(hit & ~is_sphere, v_tri, 0.0)
-    return HitRecord(t=t, u=u, v=v, prim=prim, is_sphere=is_sphere, hit=hit)
+    rec = HitRecord(t=t, u=u, v=v, prim=prim, is_sphere=is_sphere, hit=hit)
+    return (rec, trow) if with_row else rec
 
 
 def any_hit(

@@ -178,9 +178,13 @@ def trace_rays(
     from esctp1raytracer_tpu.utils.debug import TRACE, current_level
 
     for bounce in range(cfg.depth):
-        hit = closest_hit(
+        # with_row: the winner's packed table row is gathered once here
+        # and shared with shading — one scatter-add per bounce in the
+        # VJP instead of two (the backward is scatter-bound, ROOFLINE.md).
+        hit, trow = closest_hit(
             o, d, scene, eps,
             block_size=cfg.block_size, use_mxu=use_mxu, tri_search=tri_search,
+            with_row=True,
         )
         if current_level() >= TRACE:
             # The reference dumps per-hit info under --trace
@@ -196,6 +200,7 @@ def trace_rays(
         local, hit_p, normal, ks = shade(
             o, d, hit, scene, cfg.seed, ray_ids, occl,
             shadow_eps=cfg.shadow_eps, bounce=bounce, light_mode=cfg.light_mode,
+            trow=trow,
         )
         color = color + throughput * jnp.where(active[:, None], local, 0.0)
         if bounce + 1 < cfg.depth:

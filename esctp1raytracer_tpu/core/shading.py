@@ -53,25 +53,26 @@ def surface_attributes(
     hit: HitRecord,
     scene: Scene,
     shadow_eps: float,
+    trow: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, dict]:
     """Gather per-ray surface data at the winning primitive.
 
     Returns (hit_point [R,3], normal [R,3], material dict of [R,...]).
     All values are zero-safe for missed rays (no NaNs leak into gradients
     through masked lanes).
+
+    trow is the winner's packed_tri_table row [R, 32] when the caller
+    already gathered it (closest_hit with_row=True): each jnp.take's VJP
+    is a ~25-30 ms scatter-add of 2M rows on-chip, so the pipeline
+    gathers once and shares the row.
     """
     safe_prim = jnp.maximum(hit.prim, 0)
     tris, sph = scene.triangles, scene.spheres
 
-    # ONE packed gather per table: each jnp.take's VJP is a scatter-add of
-    # R updates into the table, and the backward pass was scatter-bound
-    # with a take per field. Packing [N, 34] -> one gather, one scatter
-    # (the pack/unpack concat+slices are bandwidth-trivial by comparison).
-    tri_packed = jnp.concatenate(
-        [tris.v0, tris.v1, tris.v2, tris.n0, tris.n1, tris.n2,
-         tris.ka, tris.kd, tris.ks, tris.ke, tris.ns[:, None],
-         tris.has_normals[:, None].astype(jnp.float32)], axis=1)  # [N, 32]
-    trow = jnp.take(tri_packed, safe_prim, axis=0)  # [R, 32]
+    if trow is None:
+        from esctp1raytracer_tpu.core.intersect import packed_tri_table
+
+        trow = jnp.take(packed_tri_table(tris), safe_prim, axis=0)  # [R, 32]
     tv0, tv1, tv2 = trow[:, 0:3], trow[:, 3:6], trow[:, 6:9]
     n0, n1, n2 = trow[:, 9:12], trow[:, 12:15], trow[:, 15:18]
 
@@ -94,7 +95,9 @@ def surface_attributes(
     sph_packed = jnp.concatenate(
         [sph.center, sph.radius[:, None], sph.ka, sph.kd, sph.ks, sph.ke,
          sph.ns[:, None]], axis=1)  # [M, 17]
-    srow = jnp.take(sph_packed, sphere_prim, axis=0)  # [R, 17]
+    from esctp1raytracer_tpu.core.intersect import select_rows
+
+    srow = select_rows(sph_packed, sphere_prim)  # [R, 17]
     center, radius = srow[:, 0:3], srow[:, 3]
     r_safe = jnp.where(hit.is_sphere, jnp.maximum(radius, 1e-6), 1.0)
     n_sph = (jnp.where(is_s, hit_p - center, 0.0)) / r_safe[:, None]
@@ -177,7 +180,19 @@ def sample_lights(
 
     light_packed = jnp.concatenate(
         [scene.triangles.v0, scene.triangles.v1, scene.triangles.v2], axis=1)
-    rows = jnp.take(light_packed, tri, axis=0)  # [R, L, 9]
+    F = lights.max_faces
+    if L * F <= 16:
+        # Small light tables: gather the [L, F, 9] corner table once (a
+        # trivial L*F-row scatter in the VJP) and pick each ray's face by
+        # a static select chain. The direct [R, L]-indexed gather's VJP
+        # is a ~25-30 ms scatter-add of 2M rows into the full triangle
+        # table; the selects' VJP is F masked reductions instead.
+        lc = jnp.take(light_packed, lights.tri_idx, axis=0)  # [L, F, 9]
+        rows = jnp.zeros(face.shape + (9,), jnp.float32)  # [R, L, 9]
+        for f in range(F):
+            rows = jnp.where((face == f)[..., None], lc[None, :, f, :], rows)
+    else:
+        rows = jnp.take(light_packed, tri, axis=0)  # [R, L, 9]
     v0, v1, v2 = rows[..., 0:3], rows[..., 3:6], rows[..., 6:9]
     p = v0 + (v1 - v0) * r1 + (v2 - v0) * r2
     return p, tri, L
@@ -194,15 +209,18 @@ def shade(
     shadow_eps: float = 1e-4,
     bounce: int = 0,
     light_mode: str = "area",
+    trow: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Shade one wavefront of rays against all light sources.
 
     occlusion_fn(origins [M,3], dirs [M,3], t_limit [M]) -> occluded [M] bool.
     Returns (color [R,3], hit_point [R,3], normal [R,3], ks [R,3]) — the
-    extras feed the reflection bounce in render.py.
+    extras feed the reflection bounce in render.py. trow: see
+    surface_attributes.
     """
     r = o.shape[0]
-    hit_p, normal, mat = surface_attributes(o, d, hit, scene, shadow_eps)
+    hit_p, normal, mat = surface_attributes(o, d, hit, scene, shadow_eps,
+                                            trow=trow)
 
     p_light, _, num_l = sample_lights(scene, seed, ray_ids, bounce, light_mode)
     if num_l == 0:
