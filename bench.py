@@ -88,12 +88,19 @@ def main():
     jax.block_until_ready(x)
     print(f"setup+compile: {time.time()-t_setup:.1f}s", file=sys.stderr)
 
-    def time_it(fn, *args, iters=3):
+    def time_it(fn, *args, iters=5, batches=3):
+        # Best batch of several: a single axon-tunnel dispatch hiccup
+        # (~100-200 ms) inside one small batch otherwise inflates the
+        # mean ~20% run-to-run; the best pipelined batch is the
+        # reproducible steady-state number.
         fn(*args)  # one more warm call
-        t0 = time.time()
-        outs = [fn(*args) for _ in range(iters)]
-        jax.block_until_ready(outs)
-        return (time.time() - t0) / iters
+        best = float("inf")
+        for _ in range(batches):
+            t0 = time.time()
+            outs = [fn(*args) for _ in range(iters)]
+            jax.block_until_ready(outs)
+            best = min(best, (time.time() - t0) / iters)
+        return best
 
     dt_fb = time_it(fwd_bwd, params)
     dt_f = time_it(fwd_only, params)
