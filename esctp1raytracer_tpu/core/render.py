@@ -48,7 +48,7 @@ class RenderConfig:
     shadow_eps: float = 1e-4
     block_size: int = 512
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
-    backend: str = "jnp"  # "jnp"|"mxu"|"pallas"|"tile"|"lane"|"fused"|"auto"
+    backend: str = "jnp"  # "jnp"|"mxu"|"pallas"|"tile"|"mxtile"|"lane"|"fused"|"auto"
     seed: int = 0
     # "area" = corrected ISPC-style area-light sampling;
     # "reference_cpp" = bit-faithful reproduction of the C++ path's
@@ -62,10 +62,8 @@ class RenderConfig:
 def _search_fns(cfg: RenderConfig, scene: Scene = None):
     """Resolve the closest-hit / any-hit triangle search for a backend.
 
-    "auto" picks per scene size: the fused Pallas kernel amortizes only on
-    big primitive tables (its per-ray overhead floor loses to the MXU
-    matmul below ~4k triangles); beyond the kernel's VMEM capacity the MXU
-    blockwise scan takes over again.
+    "auto" picks per scene size (thresholds measured on-chip, see the
+    comment below): lane < 4k tris <= mxtile <= one VMEM segment < tile.
     """
     backend = cfg.backend
     if backend == "auto":
@@ -73,13 +71,21 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
         # Small tables: the ray-lane brute-force kernel (every VPU lane a
         # ray, scalar loop over triangles) — its cost scales with N and
         # beats both the bundle kernel's per-ray floor and the MXU path's
-        # [R, N] HBM intermediates. Large tables: the (8 rays x 128 tris)
-        # tile kernel — its 128-triangle cull granularity tests ~3.6x
-        # fewer pairs than the 1024-wide bundle kernel (measured 185 vs
-        # 233 ms on the flagship sweep, scripts/probe_tile.py); beyond
-        # VMEM capacity it slices the sorted table into resident
-        # segments, so there is no upper cutoff.
-        backend = "lane" if n < 4096 else "tile"
+        # [R, N] HBM intermediates. Mid-size tables (one VMEM-resident
+        # segment): the MXU tile kernel — the Möller-Trumbore trilinear
+        # forms as a [128,16]@[16,512] systolic matmul per block; beats
+        # the VPU tile kernel 1.26-1.45x (flagship forward 219 vs 276 ms,
+        # scripts/probe_mxu.py), pixel-identical. Beyond one segment the
+        # (8 rays x 128 tris) VPU tile kernel takes over: its whole-table
+        # residency + 8-ray cull granularity win decisively on the
+        # segmented 100k-tri regime (config 5: tile 2.7 s vs mxtile 22 s
+        # — per-128-ray cull unions collapse on incoherent soup).
+        if n < 4096:
+            backend = "lane"
+        else:
+            from esctp1raytracer_tpu.kernels.rt_mxu import MXU_TRI_LIMIT
+
+            backend = "mxtile" if n <= MXU_TRI_LIMIT else "tile"
     if backend == "lane":
         from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
 
@@ -92,6 +98,10 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
         from esctp1raytracer_tpu.kernels.rt_tile import tile_tri_search
 
         return tile_tri_search, True
+    if backend == "mxtile":
+        from esctp1raytracer_tpu.kernels.rt_mxu import mxu_tile_search
+
+        return mxu_tile_search, True
     if backend == "mxu":
         return None, True
     if backend == "jnp":

@@ -77,12 +77,17 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
     if slices > 1:
         print(f"# {name}: {slices} host-level slices", file=sys.stderr)
 
-    def timeit(fn, iters=2):
+    def timeit(fn, iters=2, batches=2):
+        # Best batch of several: a single tunnel dispatch hiccup inflates
+        # a small-batch mean ~20% run-to-run (see bench.py time_it).
         jax.block_until_ready(fn(params))  # block the warm call too
-        t0 = time.time()
-        out = [fn(params) for _ in range(iters)]
-        jax.block_until_ready(out)
-        return (time.time() - t0) / iters
+        best = float("inf")
+        for _ in range(batches):
+            t0 = time.time()
+            out = [fn(params) for _ in range(iters)]
+            jax.block_until_ready(out)
+            best = min(best, (time.time() - t0) / iters)
+        return best
 
     dt_f = timeit(fwd)
     record = {

@@ -127,12 +127,21 @@ class TestAutoBackend:
         search, use_mxu = _search_fns(RenderConfig(backend="auto"), cornell)
         assert search is lane_tri_search  # ray-lane kernel below 4k tris
 
-    def test_auto_picks_tile_for_big_scenes(self):
+    def test_auto_picks_mxtile_for_mid_scenes(self):
         from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
-        from esctp1raytracer_tpu.kernels.rt_tile import tile_tri_search
+        from esctp1raytracer_tpu.kernels.rt_mxu import mxu_tile_search
         from esctp1raytracer_tpu.scene.builders import mesh_scene
 
         scene = mesh_scene(subdivisions=4)  # ~5.6k triangles
+        search, _ = _search_fns(RenderConfig(backend="auto"), scene)
+        assert search is mxu_tile_search
+
+    def test_auto_picks_tile_beyond_one_segment(self):
+        from esctp1raytracer_tpu.core.render import RenderConfig, _search_fns
+        from esctp1raytracer_tpu.kernels.rt_tile import tile_tri_search
+        from esctp1raytracer_tpu.scene.builders import random_scene
+
+        scene = random_scene(40_000)  # > MXU_TRI_LIMIT: segmented regime
         search, _ = _search_fns(RenderConfig(backend="auto"), scene)
         assert search is tile_tri_search
 
