@@ -25,10 +25,13 @@ time, the way the ISPC backend fused it (src/ispc/trace.ispc:86-272):
   ((ka*0.5+ke)/L + (kd*d + ks*dot(N,H)^Ns)/L, visibility-gated,
   src/main.cpp:769-788).
 
-Forward-only (no JVP/VJP rule): the differentiable path stays on the
-backend kernels + XLA shading. Opt in with RenderConfig(backend="fused");
+Depth up to FUSED_DEPTH_LIMIT unrolls the Whitted reflection loop
+inside the kernel (see _make_kernel) — the whole depth-4 frame is still
+ONE Pallas call. Gradients: `fused_trace_diff` wraps the kernel in a
+custom VJP that re-derives the backward through the XLA shading path at
+identical RNG draws, so `backend="auto"` routes here grad-safely;
 `fused_supported` gates on the static scene/config shape and the caller
-falls back to the lane path otherwise.
+falls back to the lane/tile path otherwise.
 """
 
 from __future__ import annotations
@@ -58,10 +61,13 @@ _GOLDEN = 0x9E3779B9
 _U32 = 1 << 32
 
 
+FUSED_DEPTH_LIMIT = 4  # static in-kernel bounce unroll (render.py depth)
+
+
 def fused_supported(scene: Scene, depth: int, light_mode: str) -> bool:
     """Static gate: everything here is known at trace time (no tracers)."""
     return (
-        depth == 1
+        1 <= depth <= FUSED_DEPTH_LIMIT
         and light_mode == "area"
         and scene.lights.num_lights >= 1
         and scene.triangles.capacity <= FUSED_TRI_LIMIT
@@ -108,8 +114,16 @@ def _stream_const(stream: int) -> np.uint32:
 
 
 def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
-                 shadow_eps: float):
-    """Build the frame kernel for static (sphere count, lights, faces, cfg)."""
+                 shadow_eps: float, depth: int = 1):
+    """Build the frame kernel for static (sphere count, lights, faces, cfg).
+
+    depth > 1 unrolls the iterative Whitted reflection loop of
+    trace_rays (core/render.py) INSIDE the kernel: each bounce re-runs
+    search + shade on the reflected wavefront with (origin, direction,
+    throughput, active) carried in vector registers — no hit-info round
+    trip through HBM between bounces. RNG streams are (bounce*1024+l)*4
+    + {0,1,2}, matching core/shading.py:sample_lights draw-for-draw.
+    """
     # numpy scalars only: jnp constants would be captured tracers, which
     # pallas_call rejects — np scalars embed as literals.
     epsf = np.float32(eps)
@@ -148,226 +162,21 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
         dy = rays_ref[0, 32:40, :]
         dz = rays_ref[0, 40:48, :]
         ids = ids_ref[0].astype(jnp.uint32)
-
-        # ---- primary closest hit: triangles (plane constants) ----------
-        def search(i, carry):
-            bt, bi = carry
-            base = i * 13
-            nx = tcs_ref[0, base + 0]
-            ny = tcs_ref[0, base + 1]
-            nz = tcs_ref[0, base + 2]
-            nv0 = tcs_ref[0, base + 3]
-            wux = tcs_ref[0, base + 4]
-            wuy = tcs_ref[0, base + 5]
-            wuz = tcs_ref[0, base + 6]
-            bu = tcs_ref[0, base + 7]
-            wvx = tcs_ref[0, base + 8]
-            wvy = tcs_ref[0, base + 9]
-            wvz = tcs_ref[0, base + 10]
-            bv = tcs_ref[0, base + 11]
-            det = -(dx * nx + dy * ny + dz * nz)
-            ok_det = jnp.abs(det) >= epsf
-            inv = 1.0 / jnp.where(ok_det, det, 1.0)
-            t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
-            px = ox + t * dx
-            py = oy + t * dy
-            pz = oz + t * dz
-            u = wux * px + wuy * py + wuz * pz + bu
-            v = wvx * px + wvy * py + wvz * pz + bv
-            ok = (ok_det & (jnp.minimum(u, v) >= epsf)
-                  & (u + v <= 1.0) & (t >= epsf))
-            t = jnp.where(ok, t, big)
-            better = t < bt
-            return (jnp.where(better, t, bt),
-                    jnp.where(better, jnp.full((8, 128), i, jnp.int32), bi))
-
-        bt, bi = jax.lax.fori_loop(
-            0, n_tris, search,
-            (jnp.full((8, 128), big, jnp.float32),
-             jnp.full((8, 128), NO_HIT, jnp.int32)),
-        )
-
-        # ---- primary closest hit: spheres (analytic) --------------------
-        def sphere_t(j, sox, soy, soz, sdx, sdy, sdz):
-            b0 = j * _SPH_W
-            cx = sph_ref[0, b0 + 0]
-            cy = sph_ref[0, b0 + 1]
-            cz = sph_ref[0, b0 + 2]
-            r = sph_ref[0, b0 + 3]
-            vld = sph_ref[0, b0 + 4]
-            ocx = sox - cx
-            ocy = soy - cy
-            ocz = soz - cz
-            b = ocx * sdx + ocy * sdy + ocz * sdz
-            c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-            disc = b * b - c0
-            pos = disc > 0.0
-            sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
-            tn = -b - sq
-            t = jnp.where(tn >= epsf, tn, -b + sq)
-            ok = (disc >= 0.0) & (t >= epsf) & (vld > 0.5)
-            return jnp.where(ok, t, big)
-
-        bst = jnp.full((8, 128), big, jnp.float32)
-        bsi = jnp.full((8, 128), NO_HIT, jnp.int32)
-        for j in range(S):
-            t = sphere_t(j, ox, oy, oz, dx, dy, dz)
-            better = t < bst
-            bst = jnp.where(better, t, bst)
-            bsi = jnp.where(better, jnp.full((8, 128), j, jnp.int32), bsi)
-
-        is_s = bst < bt  # strict: triangles win ties (core/intersect.py)
-        bt_comb = jnp.where(is_s, bst, bt)
-        hit = bt_comb < big
-
-        # ---- winner attribute fetch (per-lane gather as masked scan) ----
-        zero = jnp.zeros((8, 128), jnp.float32)
-
-        def fetch_geom(i, carry):
-            m = bi == i
-            base = i * _SHAD_W
-
-            def sel(k, cur):
-                return jnp.where(m, shad_ref[0, base + k], cur)
-
-            return tuple(sel(k, carry[k]) for k in range(19))
-
-        g = jax.lax.fori_loop(0, n_tris, fetch_geom, (zero,) * 19)
-        v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = g[0:9]
-        n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = g[9:18]
-        has_n = g[18]
-
-        def fetch_mat(i, carry):
-            m = bi == i
-            base = i * _SHAD_W + 19
-
-            def sel(k, cur):
-                return jnp.where(m, shad_ref[0, base + k], cur)
-
-            return tuple(sel(k, carry[k]) for k in range(13))
-
-        mt_ = jax.lax.fori_loop(0, n_tris, fetch_mat, (zero,) * 13)
-        (kax, kay, kaz, kdx, kdy, kdz, ksx, ksy, ksz,
-         kex, key_, kez, ns) = mt_
-
-        # ---- t/u/v recompute: classic MT form, as closest_hit does ------
-        e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
-        e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        ok_det = jnp.abs(det) >= epsf
-        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        u_r = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v_r = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        t_r = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        ok_r = (ok_det & (u_r >= epsf) & (u_r <= 1.0) & (v_r >= epsf)
-                & (u_r + v_r <= 1.0) & (t_r >= epsf))
-        t_r = jnp.where(ok_r, t_r, big)
-        t_tri = jnp.where(t_r < big, t_r, bt_comb)  # borderline fallback
-        t_fin = jnp.where(is_s, bst, t_tri)
-
-        # ---- hit point + shading normal (surface_attributes) ------------
-        t_safe = jnp.where(hit, t_fin, 1.0)
-        back = t_safe - sh_eps
-        hpx = jnp.where(hit, ox + dx * back, 0.0)
-        hpy = jnp.where(hit, oy + dy * back, 0.0)
-        hpz = jnp.where(hit, oz + dz * back, 0.0)
-
-        ngx = e1y * e2z - e1z * e2y
-        ngy = e1z * e2x - e1x * e2z
-        ngz = e1x * e2y - e1y * e2x
-        gn = jax.lax.rsqrt(jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz,
-                                       tiny))
-        ngx, ngy, ngz = ngx * gn, ngy * gn, ngz * gn
-        u_sh = jnp.where(hit & ~is_s, u_r, 0.0)
-        v_sh = jnp.where(hit & ~is_s, v_r, 0.0)
-        w_sh = 1.0 - u_sh - v_sh
-        nsx = n1x * u_sh + n2x * v_sh + n0x * w_sh
-        nsy = n1y * u_sh + n2y * v_sh + n0y * w_sh
-        nsz = n1z * u_sh + n2z * v_sh + n0z * w_sh
-        sn = jax.lax.rsqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz,
-                                       tiny))
-        smooth = has_n > 0.5
-        ntx = jnp.where(smooth, nsx * sn, ngx)
-        nty = jnp.where(smooth, nsy * sn, ngy)
-        ntz = jnp.where(smooth, nsz * sn, ngz)
-
-        # Sphere winner: center/radius/material via a static masked scan.
-        scx = zero
-        scy = zero
-        scz = zero
-        srad = zero
-        for j in range(S):
-            m = bsi == j
-            b0 = j * _SPH_W
-            scx = jnp.where(m, sph_ref[0, b0 + 0], scx)
-            scy = jnp.where(m, sph_ref[0, b0 + 1], scy)
-            scz = jnp.where(m, sph_ref[0, b0 + 2], scz)
-            srad = jnp.where(m, sph_ref[0, b0 + 3], srad)
-            mm = m & is_s
-            kax = jnp.where(mm, sph_ref[0, b0 + 5], kax)
-            kay = jnp.where(mm, sph_ref[0, b0 + 6], kay)
-            kaz = jnp.where(mm, sph_ref[0, b0 + 7], kaz)
-            kdx = jnp.where(mm, sph_ref[0, b0 + 8], kdx)
-            kdy = jnp.where(mm, sph_ref[0, b0 + 9], kdy)
-            kdz = jnp.where(mm, sph_ref[0, b0 + 10], kdz)
-            ksx = jnp.where(mm, sph_ref[0, b0 + 11], ksx)
-            ksy = jnp.where(mm, sph_ref[0, b0 + 12], ksy)
-            ksz = jnp.where(mm, sph_ref[0, b0 + 13], ksz)
-            kex = jnp.where(mm, sph_ref[0, b0 + 14], kex)
-            key_ = jnp.where(mm, sph_ref[0, b0 + 15], key_)
-            kez = jnp.where(mm, sph_ref[0, b0 + 16], kez)
-            ns = jnp.where(mm, sph_ref[0, b0 + 17], ns)
-
-        r_safe = jnp.where(is_s, jnp.maximum(srad, 1e-6), 1.0)
-        inv_r = 1.0 / r_safe
-        nspx = jnp.where(is_s, hpx - scx, 0.0) * inv_r
-        nspy = jnp.where(is_s, hpy - scy, 0.0) * inv_r
-        nspz = jnp.where(is_s, hpz - scz, 0.0) * inv_r
-        nx_ = jnp.where(hit, jnp.where(is_s, nspx, ntx), 0.0)
-        ny_ = jnp.where(hit, jnp.where(is_s, nspy, nty), 0.0)
-        nz_ = jnp.where(hit, jnp.where(is_s, nspz, ntz), 0.0)
-
-        # ---- per-light: sample, shadow, Phong (static unroll over L) ----
         h0 = fmix(ids ^ s0)
-        col_r = zero
-        col_g = zero
-        col_b = zero
-        for l in range(L):
-            cnt = cnt_ref[l]
-            u_face = uniform(h0, np.uint32(_stream_const(4 * l)))
-            r1 = uniform(h0, np.uint32(_stream_const(4 * l + 1)))
-            r2 = uniform(h0, np.uint32(_stream_const(4 * l + 2)))
-            cntf = cnt.astype(jnp.float32)
-            face = jnp.minimum((u_face * cntf).astype(jnp.int32), cnt - 1)
-            lv = [zero] * 9
-            for f in range(F):
-                m = face == f
-                b0 = (l * F + f) * 9
-                for k in range(9):
-                    lv[k] = jnp.where(m, lc_ref[0, b0 + k], lv[k])
-            lpx = lv[0] + (lv[3] - lv[0]) * r1 + (lv[6] - lv[0]) * r2
-            lpy = lv[1] + (lv[4] - lv[1]) * r1 + (lv[7] - lv[1]) * r2
-            lpz = lv[2] + (lv[5] - lv[2]) * r1 + (lv[8] - lv[2]) * r2
+        zero = jnp.zeros((8, 128), jnp.float32)
+        one = jnp.ones((8, 128), jnp.float32)
+        col_r, col_g, col_b = zero, zero, zero
+        thr_r, thr_g, thr_b = one, one, one
+        active = jnp.full((8, 128), True)
 
-            lvx, lvy, lvz = lpx - hpx, lpy - hpy, lpz - hpz
-            dist = jnp.sqrt(jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz,
-                                        tiny))
-            inv_d = 1.0 / dist
-            ldx, ldy, ldz = lvx * inv_d, lvy * inv_d, lvz * inv_d
-            t_lim = dist - sh_eps
-
-            def shadow(i, occ):
+        for b in range(depth):
+            # ---- primary closest hit: triangles (plane constants) ----------
+            def search(i, carry):
+                bt, bi = carry
                 base = i * 13
-                snx = tcs_ref[0, base + 0]
-                sny = tcs_ref[0, base + 1]
-                snz = tcs_ref[0, base + 2]
+                nx = tcs_ref[0, base + 0]
+                ny = tcs_ref[0, base + 1]
+                nz = tcs_ref[0, base + 2]
                 nv0 = tcs_ref[0, base + 3]
                 wux = tcs_ref[0, base + 4]
                 wuy = tcs_ref[0, base + 5]
@@ -377,43 +186,279 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
                 wvy = tcs_ref[0, base + 9]
                 wvz = tcs_ref[0, base + 10]
                 bv = tcs_ref[0, base + 11]
-                det = -(ldx * snx + ldy * sny + ldz * snz)
+                det = -(dx * nx + dy * ny + dz * nz)
                 ok_det = jnp.abs(det) >= epsf
                 inv = 1.0 / jnp.where(ok_det, det, 1.0)
-                t = ((hpx * snx + hpy * sny + hpz * snz) - nv0) * inv
-                px = hpx + t * ldx
-                py = hpy + t * ldy
-                pz = hpz + t * ldz
+                t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
+                px = ox + t * dx
+                py = oy + t * dy
+                pz = oz + t * dz
                 u = wux * px + wuy * py + wuz * pz + bu
                 v = wvx * px + wvy * py + wvz * pz + bv
                 ok = (ok_det & (jnp.minimum(u, v) >= epsf)
-                      & (u + v <= 1.0) & (t >= epsf) & (t < t_lim))
-                # int32 carry: Mosaic cannot legalize a fori_loop carrying
-                # a bool (i1) vector — same pattern as hit_pallas._occl_kernel.
-                return jnp.maximum(occ, jnp.where(ok, 1, 0))
+                      & (u + v <= 1.0) & (t >= epsf))
+                t = jnp.where(ok, t, big)
+                better = t < bt
+                return (jnp.where(better, t, bt),
+                        jnp.where(better, jnp.full((8, 128), i, jnp.int32), bi))
 
-            occ = jax.lax.fori_loop(0, n_tris, shadow,
-                                    jnp.zeros((8, 128), jnp.int32))
+            bt, bi = jax.lax.fori_loop(
+                0, n_tris, search,
+                (jnp.full((8, 128), big, jnp.float32),
+                 jnp.full((8, 128), NO_HIT, jnp.int32)),
+            )
+
+            # ---- primary closest hit: spheres (analytic) --------------------
+            def sphere_t(j, sox, soy, soz, sdx, sdy, sdz):
+                b0 = j * _SPH_W
+                cx = sph_ref[0, b0 + 0]
+                cy = sph_ref[0, b0 + 1]
+                cz = sph_ref[0, b0 + 2]
+                r = sph_ref[0, b0 + 3]
+                vld = sph_ref[0, b0 + 4]
+                ocx = sox - cx
+                ocy = soy - cy
+                ocz = soz - cz
+                b = ocx * sdx + ocy * sdy + ocz * sdz
+                c0 = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+                disc = b * b - c0
+                pos = disc > 0.0
+                sq = jnp.where(pos, jnp.sqrt(jnp.where(pos, disc, 1.0)), 0.0)
+                tn = -b - sq
+                t = jnp.where(tn >= epsf, tn, -b + sq)
+                ok = (disc >= 0.0) & (t >= epsf) & (vld > 0.5)
+                return jnp.where(ok, t, big)
+
+            bst = jnp.full((8, 128), big, jnp.float32)
+            bsi = jnp.full((8, 128), NO_HIT, jnp.int32)
             for j in range(S):
-                t = sphere_t(j, hpx, hpy, hpz, ldx, ldy, ldz)
-                occ = jnp.maximum(occ, jnp.where(t < t_lim, 1, 0))
+                t = sphere_t(j, ox, oy, oz, dx, dy, dz)
+                better = t < bst
+                bst = jnp.where(better, t, bst)
+                bsi = jnp.where(better, jnp.full((8, 128), j, jnp.int32), bsi)
 
-            d_nl = nx_ * ldx + ny_ * ldy + nz_ * ldz
-            hvx = (nx_ + ldx) * 2.0
-            hvy = (ny_ + ldy) * 2.0
-            hvz = (nz_ + ldz) * 2.0
-            hn = jax.lax.rsqrt(jnp.maximum(hvx * hvx + hvy * hvy + hvz * hvz,
+            is_s = bst < bt  # strict: triangles win ties (core/intersect.py)
+            bt_comb = jnp.where(is_s, bst, bt)
+            hit = bt_comb < big
+
+            # ---- winner attribute fetch (per-lane gather as masked scan) ----
+            zero = jnp.zeros((8, 128), jnp.float32)
+
+            def fetch_geom(i, carry):
+                m = bi == i
+                base = i * _SHAD_W
+
+                def sel(k, cur):
+                    return jnp.where(m, shad_ref[0, base + k], cur)
+
+                return tuple(sel(k, carry[k]) for k in range(19))
+
+            g = jax.lax.fori_loop(0, n_tris, fetch_geom, (zero,) * 19)
+            v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = g[0:9]
+            n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = g[9:18]
+            has_n = g[18]
+
+            def fetch_mat(i, carry):
+                m = bi == i
+                base = i * _SHAD_W + 19
+
+                def sel(k, cur):
+                    return jnp.where(m, shad_ref[0, base + k], cur)
+
+                return tuple(sel(k, carry[k]) for k in range(13))
+
+            mt_ = jax.lax.fori_loop(0, n_tris, fetch_mat, (zero,) * 13)
+            (kax, kay, kaz, kdx, kdy, kdz, ksx, ksy, ksz,
+             kex, key_, kez, ns) = mt_
+
+            # ---- t/u/v recompute: classic MT form, as closest_hit does ------
+            e1x, e1y, e1z = v1x - v0x, v1y - v0y, v1z - v0z
+            e2x, e2y, e2z = v2x - v0x, v2y - v0y, v2z - v0z
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            ok_det = jnp.abs(det) >= epsf
+            inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+            u_r = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            v_r = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t_r = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            ok_r = (ok_det & (u_r >= epsf) & (u_r <= 1.0) & (v_r >= epsf)
+                    & (u_r + v_r <= 1.0) & (t_r >= epsf))
+            t_r = jnp.where(ok_r, t_r, big)
+            t_tri = jnp.where(t_r < big, t_r, bt_comb)  # borderline fallback
+            t_fin = jnp.where(is_s, bst, t_tri)
+
+            # ---- hit point + shading normal (surface_attributes) ------------
+            t_safe = jnp.where(hit, t_fin, 1.0)
+            back = t_safe - sh_eps
+            hpx = jnp.where(hit, ox + dx * back, 0.0)
+            hpy = jnp.where(hit, oy + dy * back, 0.0)
+            hpz = jnp.where(hit, oz + dz * back, 0.0)
+
+            ngx = e1y * e2z - e1z * e2y
+            ngy = e1z * e2x - e1x * e2z
+            ngz = e1x * e2y - e1y * e2x
+            gn = jax.lax.rsqrt(jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz,
                                            tiny))
-            spec_dot = jnp.maximum((nx_ * hvx + ny_ * hvy + nz_ * hvz) * hn,
-                                   0.0)
-            spec = jnp.exp(ns * jnp.log(jnp.maximum(spec_dot, tiny)))
-            vis = hit & (occ == 0) & (d_nl > 0.0)
-            cr = (kax * 0.5 + kex + kdx * d_nl + ksx * spec) * inv_l
-            cg = (kay * 0.5 + key_ + kdy * d_nl + ksy * spec) * inv_l
-            cb = (kaz * 0.5 + kez + kdz * d_nl + ksz * spec) * inv_l
-            col_r = col_r + jnp.where(vis, cr, 0.0)
-            col_g = col_g + jnp.where(vis, cg, 0.0)
-            col_b = col_b + jnp.where(vis, cb, 0.0)
+            ngx, ngy, ngz = ngx * gn, ngy * gn, ngz * gn
+            u_sh = jnp.where(hit & ~is_s, u_r, 0.0)
+            v_sh = jnp.where(hit & ~is_s, v_r, 0.0)
+            w_sh = 1.0 - u_sh - v_sh
+            nsx = n1x * u_sh + n2x * v_sh + n0x * w_sh
+            nsy = n1y * u_sh + n2y * v_sh + n0y * w_sh
+            nsz = n1z * u_sh + n2z * v_sh + n0z * w_sh
+            sn = jax.lax.rsqrt(jnp.maximum(nsx * nsx + nsy * nsy + nsz * nsz,
+                                           tiny))
+            smooth = has_n > 0.5
+            ntx = jnp.where(smooth, nsx * sn, ngx)
+            nty = jnp.where(smooth, nsy * sn, ngy)
+            ntz = jnp.where(smooth, nsz * sn, ngz)
+
+            # Sphere winner: center/radius/material via a static masked scan.
+            scx = zero
+            scy = zero
+            scz = zero
+            srad = zero
+            for j in range(S):
+                m = bsi == j
+                b0 = j * _SPH_W
+                scx = jnp.where(m, sph_ref[0, b0 + 0], scx)
+                scy = jnp.where(m, sph_ref[0, b0 + 1], scy)
+                scz = jnp.where(m, sph_ref[0, b0 + 2], scz)
+                srad = jnp.where(m, sph_ref[0, b0 + 3], srad)
+                mm = m & is_s
+                kax = jnp.where(mm, sph_ref[0, b0 + 5], kax)
+                kay = jnp.where(mm, sph_ref[0, b0 + 6], kay)
+                kaz = jnp.where(mm, sph_ref[0, b0 + 7], kaz)
+                kdx = jnp.where(mm, sph_ref[0, b0 + 8], kdx)
+                kdy = jnp.where(mm, sph_ref[0, b0 + 9], kdy)
+                kdz = jnp.where(mm, sph_ref[0, b0 + 10], kdz)
+                ksx = jnp.where(mm, sph_ref[0, b0 + 11], ksx)
+                ksy = jnp.where(mm, sph_ref[0, b0 + 12], ksy)
+                ksz = jnp.where(mm, sph_ref[0, b0 + 13], ksz)
+                kex = jnp.where(mm, sph_ref[0, b0 + 14], kex)
+                key_ = jnp.where(mm, sph_ref[0, b0 + 15], key_)
+                kez = jnp.where(mm, sph_ref[0, b0 + 16], kez)
+                ns = jnp.where(mm, sph_ref[0, b0 + 17], ns)
+
+            r_safe = jnp.where(is_s, jnp.maximum(srad, 1e-6), 1.0)
+            inv_r = 1.0 / r_safe
+            nspx = jnp.where(is_s, hpx - scx, 0.0) * inv_r
+            nspy = jnp.where(is_s, hpy - scy, 0.0) * inv_r
+            nspz = jnp.where(is_s, hpz - scz, 0.0) * inv_r
+            nx_ = jnp.where(hit, jnp.where(is_s, nspx, ntx), 0.0)
+            ny_ = jnp.where(hit, jnp.where(is_s, nspy, nty), 0.0)
+            nz_ = jnp.where(hit, jnp.where(is_s, nspz, ntz), 0.0)
+
+            # ---- per-light: sample, shadow, Phong (static unroll over L) ----
+            lcol_r = zero
+            lcol_g = zero
+            lcol_b = zero
+            for l in range(L):
+                cnt = cnt_ref[l]
+                u_face = uniform(h0, np.uint32(_stream_const(4 * (b * 1024 + l))))
+                r1 = uniform(h0, np.uint32(_stream_const(4 * (b * 1024 + l) + 1)))
+                r2 = uniform(h0, np.uint32(_stream_const(4 * (b * 1024 + l) + 2)))
+                cntf = cnt.astype(jnp.float32)
+                face = jnp.minimum((u_face * cntf).astype(jnp.int32), cnt - 1)
+                lv = [zero] * 9
+                for f in range(F):
+                    m = face == f
+                    b0 = (l * F + f) * 9
+                    for k in range(9):
+                        lv[k] = jnp.where(m, lc_ref[0, b0 + k], lv[k])
+                lpx = lv[0] + (lv[3] - lv[0]) * r1 + (lv[6] - lv[0]) * r2
+                lpy = lv[1] + (lv[4] - lv[1]) * r1 + (lv[7] - lv[1]) * r2
+                lpz = lv[2] + (lv[5] - lv[2]) * r1 + (lv[8] - lv[2]) * r2
+
+                lvx, lvy, lvz = lpx - hpx, lpy - hpy, lpz - hpz
+                dist = jnp.sqrt(jnp.maximum(lvx * lvx + lvy * lvy + lvz * lvz,
+                                            tiny))
+                inv_d = 1.0 / dist
+                ldx, ldy, ldz = lvx * inv_d, lvy * inv_d, lvz * inv_d
+                t_lim = dist - sh_eps
+
+                def shadow(i, occ):
+                    base = i * 13
+                    snx = tcs_ref[0, base + 0]
+                    sny = tcs_ref[0, base + 1]
+                    snz = tcs_ref[0, base + 2]
+                    nv0 = tcs_ref[0, base + 3]
+                    wux = tcs_ref[0, base + 4]
+                    wuy = tcs_ref[0, base + 5]
+                    wuz = tcs_ref[0, base + 6]
+                    bu = tcs_ref[0, base + 7]
+                    wvx = tcs_ref[0, base + 8]
+                    wvy = tcs_ref[0, base + 9]
+                    wvz = tcs_ref[0, base + 10]
+                    bv = tcs_ref[0, base + 11]
+                    det = -(ldx * snx + ldy * sny + ldz * snz)
+                    ok_det = jnp.abs(det) >= epsf
+                    inv = 1.0 / jnp.where(ok_det, det, 1.0)
+                    t = ((hpx * snx + hpy * sny + hpz * snz) - nv0) * inv
+                    px = hpx + t * ldx
+                    py = hpy + t * ldy
+                    pz = hpz + t * ldz
+                    u = wux * px + wuy * py + wuz * pz + bu
+                    v = wvx * px + wvy * py + wvz * pz + bv
+                    ok = (ok_det & (jnp.minimum(u, v) >= epsf)
+                          & (u + v <= 1.0) & (t >= epsf) & (t < t_lim))
+                    # int32 carry: Mosaic cannot legalize a fori_loop carrying
+                    # a bool (i1) vector — same pattern as hit_pallas._occl_kernel.
+                    return jnp.maximum(occ, jnp.where(ok, 1, 0))
+
+                occ = jax.lax.fori_loop(0, n_tris, shadow,
+                                        jnp.zeros((8, 128), jnp.int32))
+                for j in range(S):
+                    t = sphere_t(j, hpx, hpy, hpz, ldx, ldy, ldz)
+                    occ = jnp.maximum(occ, jnp.where(t < t_lim, 1, 0))
+
+                d_nl = nx_ * ldx + ny_ * ldy + nz_ * ldz
+                hvx = (nx_ + ldx) * 2.0
+                hvy = (ny_ + ldy) * 2.0
+                hvz = (nz_ + ldz) * 2.0
+                hn = jax.lax.rsqrt(jnp.maximum(hvx * hvx + hvy * hvy + hvz * hvz,
+                                               tiny))
+                spec_dot = jnp.maximum((nx_ * hvx + ny_ * hvy + nz_ * hvz) * hn,
+                                       0.0)
+                spec = jnp.exp(ns * jnp.log(jnp.maximum(spec_dot, tiny)))
+                vis = hit & (occ == 0) & (d_nl > 0.0)
+                cr = (kax * 0.5 + kex + kdx * d_nl + ksx * spec) * inv_l
+                cg = (kay * 0.5 + key_ + kdy * d_nl + ksy * spec) * inv_l
+                cb = (kaz * 0.5 + kez + kdz * d_nl + ksz * spec) * inv_l
+                lcol_r = lcol_r + jnp.where(vis, cr, 0.0)
+                lcol_g = lcol_g + jnp.where(vis, cg, 0.0)
+                lcol_b = lcol_b + jnp.where(vis, cb, 0.0)
+
+
+            # ---- accumulate this bounce; prep the reflected wavefront ----
+            # (trace_rays semantics, core/render.py:209-219)
+            col_r = col_r + jnp.where(active, thr_r * lcol_r, 0.0)
+            col_g = col_g + jnp.where(active, thr_g * lcol_g, 0.0)
+            col_b = col_b + jnp.where(active, thr_b * lcol_b, 0.0)
+            if b + 1 < depth:
+                ks_max = jnp.maximum(jnp.maximum(ksx, ksy), ksz)
+                active = active & hit & (ks_max > 0.0)
+                thr_r = jnp.where(active, thr_r * ksx, 0.0)
+                thr_g = jnp.where(active, thr_g * ksy, 0.0)
+                thr_b = jnp.where(active, thr_b * ksz, 0.0)
+                ddn = dx * nx_ + dy * ny_ + dz * nz_
+                rx = dx - 2.0 * ddn * nx_
+                ry = dy - 2.0 * ddn * ny_
+                rz = dz - 2.0 * ddn * nz_
+                rn = jax.lax.rsqrt(
+                    jnp.maximum(rx * rx + ry * ry + rz * rz, tiny))
+                ox = jnp.where(active, hpx, ox)
+                oy = jnp.where(active, hpy, oy)
+                oz = jnp.where(active, hpz, oz)
+                dx = jnp.where(active, rx * rn, dx)
+                dy = jnp.where(active, ry * rn, dy)
+                dz = jnp.where(active, rz * rn, dz)
 
         out_ref[0, 0:8, :] = col_r
         out_ref[0, 8:16, :] = col_g
@@ -423,10 +468,10 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
 
 
 @partial(jax.jit, static_argnames=("S", "L", "F", "seed", "eps",
-                                   "shadow_eps", "interpret"))
+                                   "shadow_eps", "depth", "interpret"))
 def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
                 S: int, L: int, F: int, seed: int, eps: float,
-                shadow_eps: float, interpret: bool = False):
+                shadow_eps: float, depth: int = 1, interpret: bool = False):
     r = o.shape[0]
     pad = (-r) % RAYS_PER_STEP
     if pad:
@@ -443,7 +488,7 @@ def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
     rays = rays.reshape(steps, 48, 128)
     ids = ray_ids.astype(jnp.int32).reshape(steps, 8, 128)
 
-    kernel = _make_kernel(S, L, F, seed, eps, shadow_eps)
+    kernel = _make_kernel(S, L, F, seed, eps, shadow_eps, depth)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -486,7 +531,8 @@ def fused_trace(o: jax.Array, d: jax.Array, scene: Scene,
         o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
         S=scene.spheres.capacity, L=scene.lights.num_lights,
         F=scene.lights.max_faces, seed=cfg.seed, eps=float(cfg.eps),
-        shadow_eps=float(cfg.shadow_eps), interpret=interpret,
+        shadow_eps=float(cfg.shadow_eps), depth=cfg.depth,
+        interpret=interpret,
     )
 
 

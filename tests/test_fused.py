@@ -138,20 +138,67 @@ class TestFusedGrad:
         np.testing.assert_array_equal(a, b)
 
 
+class TestFusedDepth:
+    """depth > 1: the in-kernel Whitted reflection unroll must equal the
+    XLA bounce loop (same draws — streams are (bounce*1024+l)*4+k)."""
+
+    def test_depth2_mirror(self):
+        a, b = _frames(cornell_variant("mirror"), depth=2)
+        _assert_close(a, b)
+        # reflections add light: depth-2 must differ from depth-1
+        a1, _ = _frames(cornell_variant("mirror"), depth=1)
+        assert np.abs(a - a1).max() > 1e-3
+
+    def test_depth3_mixed_scene(self):
+        scene = mixed_scene()
+        cam = Camera.look_at((0, 2, 6), (0, 1, 0), aspect=4 / 3)
+        a, b = _frames(scene, cam, depth=3)
+        _assert_close(a, b)
+
+    def test_depth2_grad_auto(self):
+        import jax
+
+        from esctp1raytracer_tpu.parallel.sharding import (
+            float_params,
+            merge_params,
+        )
+
+        scene = cornell_variant("mirror")
+        o, d = CAM.ray_grid(16, 12)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
+        params = float_params(scene)
+
+        def loss(ps, backend):
+            sc = merge_params(scene, ps)
+            c = trace_rays(o, d, sc, ids,
+                           RenderConfig(backend=backend, depth=2))
+            return jnp.sum(c * c)
+
+        g_lane = jax.grad(lambda ps: loss(ps, "lane"))(params)
+        g_auto = jax.grad(lambda ps: loss(ps, "auto"))(params)
+        for a, b in zip(jax.tree.leaves(g_lane), jax.tree.leaves(g_auto)):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.maximum(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-3)
+
+
 class TestFusedGate:
     def test_supported_static_gate(self):
         scene = cornell_box()
         assert fused_supported(scene, 1, "area")
-        assert not fused_supported(scene, 2, "area")
+        assert fused_supported(scene, 4, "area")
+        assert not fused_supported(scene, 5, "area")
         assert not fused_supported(scene, 1, "reference_cpp")
         assert scene.triangles.capacity <= FUSED_TRI_LIMIT
 
     def test_fallback_on_unsupported(self):
-        """depth=2 with backend='fused' must fall back to the lane path and
-        equal it exactly (same XLA program)."""
+        """depth=5 (beyond the kernel unroll limit) with backend='fused'
+        must fall back to the lane path and equal it exactly (same XLA
+        program)."""
         scene = cornell_box()
         a = np.asarray(render(scene, CAM, 32, 24,
-                              RenderConfig(backend="lane", depth=2)))
+                              RenderConfig(backend="lane", depth=5)))
         b = np.asarray(render(scene, CAM, 32, 24,
-                              RenderConfig(backend="fused", depth=2)))
+                              RenderConfig(backend="fused", depth=5)))
         np.testing.assert_array_equal(a, b)
