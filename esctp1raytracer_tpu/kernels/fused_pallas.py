@@ -53,6 +53,7 @@ FUSED_TRI_LIMIT = 2048  # SMEM: (13 + 32) * N * 4 B = 360 KB at 2048
 _SHAD_W = 32  # v0 v1 v2 n0 n1 n2 has_n ka kd ks ke ns
 _SPH_W = 18  # center radius valid ka kd ks ke ns
 _TINY = np.float32(1e-12)
+_FETCH_HUGE = np.int32(2**30)  # > any triangle index: empty fetch window
 
 # murmur3 constants — must match utils/rng.py bit-for-bit.
 _C1 = 0x85EBCA6B
@@ -241,8 +242,14 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
             bt_comb = jnp.where(is_s, bst, bt)
             hit = bt_comb < big
 
-            # ---- winner attribute fetch (per-lane gather as masked scan) ----
+            # ---- winner attribute fetch (per-lane gather as masked scan),
+            # windowed to the tile's [min, max] winner index: winners of
+            # 1024 coherent rays cluster into a narrow range, so the O(N)
+            # scan usually collapses to a few dozen iterations (exact
+            # same result — indices outside the window match no lane).
             zero = jnp.zeros((8, 128), jnp.float32)
+            bi_lo = jnp.min(jnp.where(bi >= 0, bi, _FETCH_HUGE))
+            bi_hi = jnp.max(bi) + 1  # NO_HIT = -1 never exceeds real ids
 
             def fetch_geom(i, carry):
                 m = bi == i
@@ -253,7 +260,7 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
 
                 return tuple(sel(k, carry[k]) for k in range(19))
 
-            g = jax.lax.fori_loop(0, n_tris, fetch_geom, (zero,) * 19)
+            g = jax.lax.fori_loop(bi_lo, bi_hi, fetch_geom, (zero,) * 19)
             v0x, v0y, v0z, v1x, v1y, v1z, v2x, v2y, v2z = g[0:9]
             n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z = g[9:18]
             has_n = g[18]
@@ -267,7 +274,7 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
 
                 return tuple(sel(k, carry[k]) for k in range(13))
 
-            mt_ = jax.lax.fori_loop(0, n_tris, fetch_mat, (zero,) * 13)
+            mt_ = jax.lax.fori_loop(bi_lo, bi_hi, fetch_mat, (zero,) * 13)
             (kax, kay, kaz, kdx, kdy, kdz, ksx, ksy, ksz,
              kex, key_, kez, ns) = mt_
 
