@@ -26,7 +26,7 @@ import numpy as np  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box, render, write_ppm  # noqa: E402
+from esctp1raytracer_tpu import Camera, RenderConfig, render, write_ppm  # noqa: E402
 from esctp1raytracer_tpu.parallel import make_mesh, render_sharded  # noqa: E402
 
 STRATEGIES = [
@@ -43,13 +43,21 @@ def main() -> int:
     ap.add_argument("--size", default="1024x768")
     ap.add_argument("--eye", default="0,1,2")
     ap.add_argument("--look", default="0,1,0")
+    ap.add_argument("--scene", default="original",
+                    choices=("original", "mirror", "glossy", "sphere",
+                             "water"),
+                    help="Cornell model variant (src/models/cornell/*)")
+    ap.add_argument("--depth", type=int, default=1,
+                    help="Whitted reflection bounces")
     args = ap.parse_args()
     width, height = (int(x) for x in args.size.split("x"))
     eye = tuple(float(x) for x in args.eye.split(","))
     look = tuple(float(x) for x in args.look.split(","))
 
     os.makedirs(args.out, exist_ok=True)
-    scene = cornell_box()
+    from esctp1raytracer_tpu.scene.builders import cornell_variant
+
+    scene = cornell_variant(args.scene)
     cam = Camera.look_at(eye, look, vfov=60.0, aspect=width / height)
     mesh = make_mesh()
 
@@ -59,7 +67,8 @@ def main() -> int:
         # jnp's broadcast search needs chunking to bound its [chunk, N, 3]
         # intermediates; the kernel backends are fastest unchunked.
         chunk = 262144 if backend == "jnp" else 0
-        cfg = RenderConfig(backend=backend, ray_chunk=chunk)
+        cfg = RenderConfig(backend=backend, ray_chunk=chunk,
+                           depth=args.depth)
 
         def go():
             if sharded:
