@@ -13,7 +13,21 @@ import numpy as np
 
 
 def write_ppm(path: str, image: np.ndarray) -> None:
-    """Write image [H, W, 3] float (row h = framebuffer row h) as P3 PPM."""
+    """Write image [H, W, 3] float (row h = framebuffer row h) as P3 PPM.
+
+    Uses the native C++ writer (native/ppm.cpp — the reference writer's
+    IO-runtime role) when it builds, byte-identical to the Python path
+    below; falls back to pure Python otherwise."""
+    from esctp1raytracer_tpu.io.native_ppm import write_ppm_native
+
+    if write_ppm_native(path, image):
+        return
+    write_ppm_python(path, image)
+
+
+def write_ppm_python(path: str, image: np.ndarray) -> None:
+    """The pure-Python reference implementation (parity oracle for the
+    native writer; always available)."""
     image = np.asarray(image)
     h, w, _ = image.shape
     # Clamp only the top end, like the reference (no negative colors occur).

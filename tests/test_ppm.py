@@ -40,3 +40,34 @@ def test_roundtrip(tmp_path):
     back = read_ppm(p)
     assert back.shape == img.shape
     np.testing.assert_allclose(back, np.floor(img * 255) / 255, atol=1 / 255 + 1e-6)
+
+
+def test_native_writer_byte_identical(tmp_path):
+    """native/ppm.cpp must emit byte-for-byte what the Python writer does
+    (including the row flip, truncation, and trailing newline)."""
+    from esctp1raytracer_tpu.io.native_ppm import write_ppm_native
+    from esctp1raytracer_tpu.io.ppm import write_ppm_python
+
+    rng = np.random.RandomState(42)
+    for shape in [(1, 1, 3), (2, 3, 3), (17, 31, 3), (64, 48, 3)]:
+        img = (rng.rand(*shape) * 1.2).astype(np.float32)  # some >1: clamp
+        pn = str(tmp_path / "n.ppm")
+        pp = str(tmp_path / "p.ppm")
+        if not write_ppm_native(pn, img):
+            import pytest
+
+            pytest.skip("native ppm writer unavailable (no g++)")
+        write_ppm_python(pp, img)
+        assert open(pn, "rb").read() == open(pp, "rb").read(), shape
+
+
+def test_default_writer_roundtrips_via_native(tmp_path):
+    """write_ppm (native-first) output must read back like the Python
+    writer's."""
+    rng = np.random.RandomState(7)
+    img = rng.rand(9, 11, 3).astype(np.float32)
+    p = str(tmp_path / "d.ppm")
+    write_ppm(p, img)
+    back = read_ppm(p)
+    np.testing.assert_allclose(back, np.floor(img * 255) / 255,
+                               atol=1 / 255 + 1e-6)
