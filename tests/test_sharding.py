@@ -120,3 +120,37 @@ class TestShardedTraining:
         np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-5)
         for ga, gb in zip(g_a, g_b):
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-3, atol=1e-5)
+
+
+class TestShardedAutoBackend:
+    """backend='auto' inside shard_map: the ray shards route to the fused
+    whole-frame kernel (custom VJP) — the production sharded+fused path."""
+
+    def test_sharded_auto_matches_unsharded(self, cornell, eight_devices):
+        mesh = make_mesh(rays=8)
+        cfg = RenderConfig(backend="auto")
+        a = np.asarray(render(cornell, CAM, 64, 64, cfg))
+        b = np.asarray(render_sharded(cornell, CAM, 64, 64, cfg, mesh))
+        assert_images_match(a, b)
+
+    def test_sharded_auto_grad(self, cornell, eight_devices):
+        """One sharded train step through the fused custom VJP: psum'd
+        grads must match the unsharded jax.grad."""
+        mesh = make_mesh(rays=8)
+        cfg = RenderConfig(backend="auto")
+        target = jnp.zeros((16, 16, 3), jnp.float32)
+        loss_s, grads_s = loss_and_grad_sharded(
+            cornell, target, CAM, cfg=cfg, mesh=mesh)
+
+        params = float_params(cornell)
+
+        def loss_fn(ps):
+            img = render(merge_params(cornell, ps), CAM, 16, 16, cfg)
+            return jnp.mean((img - target) ** 2)
+
+        loss_u, grads_u = jax.value_and_grad(loss_fn)(params)
+        np.testing.assert_allclose(float(loss_s), float(loss_u), rtol=1e-5)
+        for gs, gu in zip(jax.tree.leaves(grads_s), jax.tree.leaves(grads_u)):
+            gs, gu = np.asarray(gs), np.asarray(gu)
+            scale = max(np.abs(gu).max(), 1e-6)
+            np.testing.assert_allclose(gs, gu, atol=3e-4 * scale, rtol=3e-3)
