@@ -154,3 +154,19 @@ class TestTwoLightShading:
         g = jax.grad(loss, allow_int=True)(scene)
         gn = float(jnp.linalg.norm(g.triangles.kd))
         assert np.isfinite(gn) and gn > 0
+
+
+class TestFusedMultiLight:
+    def test_fused_kernel_matches_lane_two_lights(self, two_light_scene):
+        """The fused kernel's static per-light unroll (and its per-light
+        RNG streams) must reproduce the XLA path at L=2."""
+        cam = Camera.look_at((0, 3, 8), (0, 1, 0), aspect=4 / 3)
+        a = np.asarray(render(two_light_scene, cam, 48, 36,
+                              RenderConfig(backend="lane", seed=5)))
+        b = np.asarray(render(two_light_scene, cam, 48, 36,
+                              RenderConfig(backend="fused", seed=5)))
+        diff = np.abs(a - b).max(-1)
+        flipped = diff > 1e-2
+        assert flipped.mean() <= 2e-3
+        assert np.abs(a[~flipped] - b[~flipped]).max() <= 3e-5
+        assert b.sum() > 1.0
