@@ -97,7 +97,14 @@ def build_clusters(tris: TriangleBuffer) -> ClusteredTriangles:
     codes = morton_codes(centroid)  # 30-bit: always < 2^30
     tmin, tmax = triangle_bounds(tris)
     diag2 = jnp.sum((tmax - tmin) ** 2, axis=1)
-    med2 = jnp.median(jnp.where(tris.valid, diag2, 0.0))
+    # Masked median over VALID triangles only: sort with +inf fill and
+    # index the middle of the valid prefix. A plain median with zero fill
+    # would be dragged to 0 whenever padding exceeds ~50% of capacity
+    # (e.g. 36 valid in a 512-capacity buffer), flagging every triangle
+    # as oversized and defeating the segregation entirely.
+    n_valid = jnp.sum(tris.valid)
+    filled = jnp.sort(jnp.where(tris.valid, diag2, jnp.inf))
+    med2 = filled[jnp.maximum(n_valid - 1, 0) // 2]
     oversized = diag2 > (OVERSIZE_K * OVERSIZE_K) * jnp.maximum(med2, 1e-30)
     # Sort key segments: [normal | oversized | invalid]; Morton order is
     # preserved within each segment (bit 30 flags oversized, < 0xFFFFFFFF).

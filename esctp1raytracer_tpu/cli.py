@@ -79,8 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true", help="debug verbosity")
     p.add_argument("--trace", action="store_true", help="trace verbosity")
     p.add_argument("--mode", "--backend", dest="mode", default="",
-                   choices=["", "jnp", "mxu", "pallas", "tile", "lane", "fused",
-                            "sharded", "auto"],
+                   choices=["", "jnp", "mxu", "pallas", "tile", "mxtile",
+                            "lane", "fused", "sharded", "auto"],
                    help="explicit backend (overrides strategy flags)")
     p.add_argument("--depth", type=int, default=1, help="reflection bounces")
     p.add_argument("--seed", type=int, default=0, help="light-sampling seed")

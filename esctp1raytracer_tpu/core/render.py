@@ -154,19 +154,26 @@ def trace_rays(
              ray_ids.reshape(-1, chunk)),
         )
         return color.reshape(-1, 3)[:r]
-    if cfg.backend in ("fused", "auto") and tri_search is None:
+    if cfg.backend in ("fused", "auto"):
         from esctp1raytracer_tpu.kernels.fused_pallas import (
             _fallback_cfg, fused_supported, fused_trace_diff,
         )
 
-        if fused_supported(scene, cfg.depth, cfg.light_mode):
+        if tri_search is not None:
+            # An injected search (e.g. the prim-sharded mesh search) means
+            # the whole-frame kernel cannot be used: resolve to its
+            # fallback backend instead of falling through to _search_fns
+            # (which has no "fused" branch).
+            if cfg.backend == "fused":
+                cfg = _fallback_cfg(scene, cfg)
+        elif fused_supported(scene, cfg.depth, cfg.light_mode):
             # Whole-frame kernel (primary + shadow + shading in ONE
             # Pallas call — Cornell 5.5 vs 39 ms on the lane path);
             # differentiable via its custom VJP (XLA-path re-derivation
             # at identical draws), so "auto" is grad-safe.
             return fused_trace_diff(o, d, scene, ray_ids, cfg)
         if cfg.backend == "fused":
-            # Unsupported shape (depth>1, reference_cpp sampling, no
+            # Unsupported shape (depth>4, reference_cpp sampling, no
             # lights, or an over-limit table): lane/tile fallback.
             cfg = _fallback_cfg(scene, cfg)
     backend_search, use_mxu = _search_fns(cfg, scene)

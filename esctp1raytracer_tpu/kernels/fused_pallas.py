@@ -63,15 +63,27 @@ _U32 = 1 << 32
 
 
 FUSED_DEPTH_LIMIT = 4  # static in-kernel bounce unroll (render.py depth)
+FUSED_SPHERE_LIMIT = 32  # spheres are Python-unrolled per bounce
+FUSED_LIGHT_FACE_LIMIT = 64  # L*F corner selects are unrolled per bounce
 
 
 def fused_supported(scene: Scene, depth: int, light_mode: str) -> bool:
-    """Static gate: everything here is known at trace time (no tracers)."""
+    """Static gate: everything here is known at trace time (no tracers).
+
+    The sphere count, light count, and per-light face table are all
+    statically unrolled in the kernel (and the light corners are
+    SMEM-resident), so they bound eligibility too — many-faced emissive
+    meshes or large sphere tables fall back to the lane/tile path
+    instead of blowing up compile time or SMEM.
+    """
     return (
         1 <= depth <= FUSED_DEPTH_LIMIT
         and light_mode == "area"
         and scene.lights.num_lights >= 1
         and scene.triangles.capacity <= FUSED_TRI_LIMIT
+        and scene.spheres.capacity <= FUSED_SPHERE_LIMIT
+        and scene.lights.num_lights * scene.lights.max_faces
+        <= FUSED_LIGHT_FACE_LIMIT
     )
 
 

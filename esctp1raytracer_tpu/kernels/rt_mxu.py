@@ -61,7 +61,7 @@ MXU_TRI_LIMIT = 32_768  # 256 blocks x [16, 512] f32 = 8.4 MB VMEM resident
 _INT_BIG = np.int32(2**31 - 1)
 
 
-def _pack_mxu(sorted_tris: TriangleBuffer, perm: jax.Array, exclude=None):
+def _pack_mxu(sorted_tris: TriangleBuffer, exclude=None):
     """Pack feature columns quantity-major: tf [NSUB, 16, 512], aabbs [8, NSUB].
 
     Column layout per block: [0:128) det | [128:256) t*det | [256:384)
@@ -336,7 +336,7 @@ def _segments(tris: TriangleBuffer, exclude_oversized: bool):
             sl = jax.tree.map(lambda a: a[k * seg:(k + 1) * seg], sorted_tris)
             perm_k = perm[k * seg:(k + 1) * seg]
             tfq, aabbs = _pack_mxu(
-                sl, perm_k,
+                sl,
                 exclude[k * seg:(k + 1) * seg] if exclude_oversized else None)
             yield tfq, aabbs, perm_k
 

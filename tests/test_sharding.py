@@ -154,3 +154,15 @@ class TestShardedAutoBackend:
             gs, gu = np.asarray(gs), np.asarray(gu)
             scale = max(np.abs(gu).max(), 1e-6)
             np.testing.assert_allclose(gs, gu, atol=3e-4 * scale, rtol=3e-3)
+
+    def test_fused_backend_with_prim_axis_falls_back(self, cornell,
+                                                     eight_devices):
+        """backend='fused' on a prims>1 mesh injects the prim-sharded
+        search, which the whole-frame kernel cannot use; it must resolve
+        to the fallback backend (previously: ValueError from
+        _search_fns) and match the unsharded image."""
+        mesh = make_mesh(rays=4, prims=2)
+        cfg = RenderConfig(backend="fused")
+        a = np.asarray(render(cornell, CAM, 32, 32, cfg))
+        b = np.asarray(render_sharded(cornell, CAM, 32, 32, cfg, mesh))
+        assert_images_match(a, b)
