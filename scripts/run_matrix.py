@@ -30,10 +30,13 @@ from esctp1raytracer_tpu import Camera, RenderConfig, render, write_ppm  # noqa:
 from esctp1raytracer_tpu.parallel import make_mesh, render_sharded  # noqa: E402
 
 STRATEGIES = [
+    # (suffix, backend, sharded) — one row per reference strategy
+    # (scripts/run.sh:36-41: none, --thread, --bvh, --bvh --thread, --ispc)
     ("sequential", "jnp", False),
     ("thread", "mxu", True),   # sharded over the device mesh
     ("bvh", "mxu", False),
-    ("ispc", "auto", False),  # auto: lane kernel at Cornell size, bundle above
+    ("bvh_thread", "mxu", True),  # accelerated search + sharded rays
+    ("ispc", "auto", False),  # auto: fused/lane/mxtile/tile by scene shape
 ]
 
 
