@@ -96,3 +96,17 @@ class TestEndToEnd:
         assert rc == 0
         err = capsys.readouterr().err
         assert f"{mode_field}" in err
+
+
+class TestExplicitBackends:
+    @pytest.mark.parametrize("mode", ["mxtile", "tile", "lane", "auto"])
+    def test_mode_flag_renders(self, cornell_obj, tmp_path, mode):
+        """Every kernel backend must be selectable from the CLI (the
+        reproduce-the-auto-decision workflow)."""
+        out = str(tmp_path / f"{mode}.ppm")
+        rc = main(["-m", cornell_obj, "-w", "24,18", "-o", out,
+                   "--mode", mode])
+        assert rc == 0
+        img = read_ppm(out)
+        assert img.shape == (18, 24, 3)
+        assert img.max() > 0.1
