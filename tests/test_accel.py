@@ -119,3 +119,21 @@ class TestBVH:
         np.testing.assert_array_equal(a.order, b.order)
         np.testing.assert_allclose(a.bmin, b.bmin, atol=1e-6)
         np.testing.assert_array_equal(a.left, b.left)
+
+
+class TestOversizeMedian:
+    def test_padding_does_not_skew_median(self):
+        """The oversize threshold must use the median over VALID slots: a
+        36-valid / 512-capacity Cornell buffer previously computed median
+        0 (zero-filled padding) and flagged every triangle oversized."""
+        from esctp1raytracer_tpu import cornell_box
+
+        scene = cornell_box()
+        assert scene.triangles.capacity >= 2 * int(scene.triangles.valid.sum())
+        cl = build_clusters(scene.triangles)
+        over = np.asarray(cl.oversized)
+        valid = np.asarray(cl.tris.valid)
+        frac = over[valid].mean() if valid.any() else 0.0
+        # Cornell walls/floor are all the same scale; only a small
+        # minority (e.g. the large floor/ceiling quads) may be oversized.
+        assert frac < 0.5, f"{frac:.2f} of valid triangles flagged oversized"
