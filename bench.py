@@ -15,11 +15,95 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
+_ERROR_METRIC = "rays_per_s_chip_fwd_bwd_1080p"
+
+
+def _probe_once(timeout_s: float) -> tuple[bool, str]:
+    """Run one trivial device op in a fresh child; True if the backend is up.
+
+    A fresh process matters twice over: a failed backend init is sticky
+    within a process (jax caches the broken backend), and a dead axon relay
+    makes the first op hang forever — the child timeout converts that hang
+    into a reportable failure (round-2 lesson: BENCH_r02 was rc=1 with a raw
+    ``Unable to initialize backend 'axon'`` traceback and no JSON line).
+    """
+    code = ("import jax\n"
+            "x = (jax.numpy.ones((8,8)) @ jax.numpy.ones((8,8)))"
+            ".block_until_ready()\n"
+            "print('probe-ok', jax.devices()[0].platform)\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"probe hang >{timeout_s:.0f}s (axon relay down?)"
+    if r.returncode == 0 and "probe-ok" in r.stdout:
+        return True, r.stdout.strip()
+    return False, (r.stderr or r.stdout).strip()[-2000:]
+
+
+def _emit_error(reason: str) -> None:
+    print(json.dumps({
+        "metric": _ERROR_METRIC,
+        "value": 0.0,
+        "unit": "rays/s",
+        "vs_baseline": None,
+        "error": reason[-800:],
+    }))
+
+
+def supervise() -> int:
+    """Retry backend init with backoff, then run the bench in a child.
+
+    Always prints exactly one JSON line on stdout (the bench result, or an
+    explicit error record) so the driver's BENCH_r{N}.json is parseable even
+    when the TPU backend is unavailable.
+    """
+    last = ""
+    for attempt, delay in enumerate((0, 30, 90, 180)):
+        if delay:
+            print(f"[bench] backend probe retry in {delay}s "
+                  f"(attempt {attempt + 1}): {last}", file=sys.stderr)
+            time.sleep(delay)
+        ok, last = _probe_once(timeout_s=420)
+        if ok:
+            print(f"[bench] backend live: {last}", file=sys.stderr)
+            break
+    else:
+        _emit_error(f"TPU backend never initialized after 4 probes: {last}")
+        return 0  # rc=0 with an explicit JSON error record
+
+    for attempt in range(2):
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                                "--child"], capture_output=True, text=True,
+                               timeout=2700)
+        except subprocess.TimeoutExpired as exc:
+            last = f"bench child timed out: {exc}"
+            print(f"[bench] {last}", file=sys.stderr)
+            continue
+        sys.stderr.write(r.stderr)
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last = (r.stderr or r.stdout).strip()[-2000:]
+        print(f"[bench] child rc={r.returncode}; retrying once"
+              if attempt == 0 else "[bench] child failed twice",
+              file=sys.stderr)
+        time.sleep(30)
+    _emit_error(f"bench child failed: {last}")
+    return 0
+
+
+if "--child" not in sys.argv and __name__ == "__main__":
+    sys.exit(supervise())
 
 import jax  # noqa: E402
 
@@ -182,4 +266,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main()  # --child path: supervise() exits above otherwise
