@@ -20,7 +20,9 @@ Strategy mapping (reference -> framework):
   --bvh     flatten + BVH            -> backend "mxu"   (feature matmul;
             the reference BVH is slower than its own brute force, SURVEY
             quirk 3, so the accelerated path here is the MXU search)
-Explicit --mode/--backend wins over the mapped flags.
+  --bvh --thread  accelerated+threads -> mode "sharded" backend "auto"
+Explicit --mode/--backend win over the mapped flags, and compose:
+`--mode sharded --backend tile` shards the tile kernel over the mesh.
 
 Extensions: --depth (Whitted reflection bounces), --seed, --vfov,
 --light-mode {area,reference_cpp}, --chunk.
@@ -78,10 +80,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test", action="store_true", help="run self-tests and exit")
     p.add_argument("--debug", action="store_true", help="debug verbosity")
     p.add_argument("--trace", action="store_true", help="trace verbosity")
-    p.add_argument("--mode", "--backend", dest="mode", default="",
+    p.add_argument("--mode", dest="mode", default="",
+                   choices=["", "single", "sharded", "jnp", "mxu", "pallas",
+                            "tile", "mxtile", "lane", "fused", "auto"],
+                   help="execution mode: single device or sharded over the "
+                        "mesh (a backend name here is legacy shorthand for "
+                        "--backend NAME)")
+    p.add_argument("--backend", dest="backend", default="",
                    choices=["", "jnp", "mxu", "pallas", "tile", "mxtile",
-                            "lane", "fused", "sharded", "auto"],
-                   help="explicit backend (overrides strategy flags)")
+                            "lane", "fused", "auto"],
+                   help="kernel backend; composes with --mode sharded "
+                        "(overrides strategy flags)")
     p.add_argument("--depth", type=int, default=1, help="reflection bounces")
     p.add_argument("--seed", type=int, default=0, help="light-sampling seed")
     p.add_argument("--vfov", type=float, default=60.0, help="vertical fov (deg)")
@@ -176,20 +185,28 @@ def main(argv=None) -> int:
         return 2
 
     width, height = args.window
-    mode = args.mode
+    _backends = ("jnp", "mxu", "pallas", "tile", "mxtile", "lane", "fused",
+                 "auto")
+    mode, backend = args.mode, args.backend
+    if mode in _backends:  # legacy: --mode <backend>
+        backend = backend or mode
+        mode = "single"
     if not mode:
+        mode = "sharded" if args.thread else "single"
+    if not backend:
         if args.ispc:
-            mode = "pallas"
-        elif args.thread:
-            mode = "sharded"
+            backend = "pallas"
         elif args.bvh:
-            mode = "mxu"
+            # --bvh --thread: accelerated + data-parallel -> the best
+            # kernel for the scene, sharded over the mesh.
+            backend = "auto" if mode == "sharded" else "mxu"
+        elif mode == "sharded":
+            backend = "auto"
         else:
-            mode = "jnp"
+            backend = "jnp"
 
     cam = Camera.look_at(args.eye, args.look, vfov=args.vfov,
                          aspect=width / height)
-    backend = "mxu" if mode == "sharded" else mode
     cfg = RenderConfig(backend=backend, depth=args.depth, seed=args.seed,
                        ray_chunk=args.chunk, light_mode=args.light_mode)
 
@@ -205,9 +222,9 @@ def main(argv=None) -> int:
     # stderr timing block, same fields as the reference (src/main.cpp:645-654).
     timer.fields = {
         "Threaded": str(mode == "sharded").lower(),
-        "Flattened": str(mode == "mxu").lower(),
-        "ISPC": str(mode == "pallas").lower(),
-        "Mode": mode,
+        "Flattened": str(backend == "mxu").lower(),
+        "ISPC": str(backend == "pallas").lower(),
+        "Mode": f"{mode}/{backend}",
         "Devices": jax.device_count(),
     }
     timer.report()

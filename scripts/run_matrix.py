@@ -31,11 +31,12 @@ from esctp1raytracer_tpu.parallel import make_mesh, render_sharded  # noqa: E402
 
 STRATEGIES = [
     # (suffix, backend, sharded) — one row per reference strategy
-    # (scripts/run.sh:36-41: none, --thread, --bvh, --bvh --thread, --ispc)
+    # (scripts/run.sh:36-41: none, --thread, --bvh, --bvh --thread, --ispc),
+    # same mapping as the CLI strategy flags (cli.py:main).
     ("sequential", "jnp", False),
-    ("thread", "mxu", True),   # sharded over the device mesh
+    ("thread", "auto", True),   # best kernel, sharded over the device mesh
     ("bvh", "mxu", False),
-    ("bvh_thread", "mxu", True),  # accelerated search + sharded rays
+    ("bvh_thread", "auto", True),  # accelerated search + sharded rays
     ("ispc", "auto", False),  # auto: fused/lane/mxtile/tile by scene shape
 ]
 

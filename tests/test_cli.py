@@ -98,6 +98,31 @@ class TestEndToEnd:
         assert f"{mode_field}" in err
 
 
+class TestModeBackendComposition:
+    def test_sharded_with_explicit_backend(self, cornell_obj, tmp_path, capsys):
+        # --mode sharded composes with any kernel backend (the reference's
+        # --thread composes with --bvh/--ispc the same way).
+        out = str(tmp_path / "st.ppm")
+        rc = main(["-m", cornell_obj, "-w", "24,18", "-o", out,
+                   "--mode", "sharded", "--backend", "tile"])
+        assert rc == 0
+        assert "sharded/tile" in capsys.readouterr().err
+        assert read_ppm(out).shape == (18, 24, 3)
+
+    def test_bvh_thread_maps_to_sharded_auto(self, cornell_obj, tmp_path, capsys):
+        out = str(tmp_path / "bt.ppm")
+        rc = main(["-m", cornell_obj, "-w", "24,18", "-o", out,
+                   "--bvh", "--thread"])
+        assert rc == 0
+        assert "sharded/auto" in capsys.readouterr().err
+
+    def test_legacy_mode_backend_shorthand(self, cornell_obj, capsys):
+        # --mode <backend> keeps working as shorthand for --backend.
+        rc = main(["-m", cornell_obj, "-w", "16,12", "--mode", "lane"])
+        assert rc == 0
+        assert "single/lane" in capsys.readouterr().err
+
+
 class TestExplicitBackends:
     @pytest.mark.parametrize("mode", ["mxtile", "tile", "lane", "auto"])
     def test_mode_flag_renders(self, cornell_obj, tmp_path, mode):
