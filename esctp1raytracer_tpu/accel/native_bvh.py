@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -37,14 +36,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
         )
         if stale:
-            try:
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     _SRC, "-o", _LIB],
-                    check=True, capture_output=True, timeout=120,
-                )
-            except (subprocess.SubprocessError, FileNotFoundError) as exc:
-                logger.warning("native BVH build failed (%s)", exc)
+            from esctp1raytracer_tpu.utils.nativebuild import (
+                build_shared, last_build_error,
+            )
+
+            if not build_shared(_SRC, _LIB):
+                logger.warning("native BVH build failed (%s)",
+                               last_build_error())
                 _failed = True
                 return None
         try:

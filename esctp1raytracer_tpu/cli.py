@@ -101,7 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="area sampling (corrected) or reference-C++ compat")
     p.add_argument("--scene", default="",
                    choices=["", "cornell", "cornell_mirror", "cornell_glossy",
-                            "cornell_sphere", "cornell_water", "sphere_plane",
+                            "cornell_sphere", "cornell_water",
+                            "cornell_empty_co", "cornell_empty_rg",
+                            "cornell_empty_white", "cornell_empty_squashed",
+                            "cornell_empty_nolight", "sphere_plane",
                             "ten_sphere", "mesh", "mixed", "random100k"],
                    help="procedural scene instead of -m")
     return p
@@ -174,6 +177,14 @@ def main(argv=None) -> int:
             "cornell_glossy": lambda: builders.cornell_variant("glossy"),
             "cornell_sphere": lambda: builders.cornell_variant("sphere"),
             "cornell_water": lambda: builders.cornell_variant("water"),
+            "cornell_empty_co": lambda: builders.cornell_variant("empty_co"),
+            "cornell_empty_rg": lambda: builders.cornell_variant("empty_rg"),
+            "cornell_empty_white":
+                lambda: builders.cornell_variant("empty_white"),
+            "cornell_empty_squashed":
+                lambda: builders.cornell_variant("empty_squashed"),
+            "cornell_empty_nolight":
+                lambda: builders.cornell_variant("empty_nolight"),
             "sphere_plane": builders.sphere_plane_scene,
             "ten_sphere": builders.ten_sphere_scene,
             "mesh": builders.mesh_scene,

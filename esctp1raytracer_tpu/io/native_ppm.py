@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Optional
 
@@ -34,13 +33,13 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    from esctp1raytracer_tpu.utils.nativebuild import build_shared, last_build_error
+
+    if build_shared(_SRC, _LIB):
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as exc:
-        logger.warning("native ppm build failed (%s); using Python writer", exc)
-        return False
+    logger.warning("native ppm build failed (%s); using Python writer",
+                   last_build_error())
+    return False
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:

@@ -314,6 +314,35 @@ _RIGHT_SPHERE_MATERIAL = Material.make(  # CornellBox-Sphere.mtl rightSphere
     ka=(0.01, 0.01, 0.01), kd=(0.30, 0.30, 0.30), ks=(0.01, 0.01, 0.01),
     ns=1024.0)
 
+# Wall/light swaps for the empty-box fixtures (walls + light panel, no
+# boxes) — reference src/models/cornell/CornellBox-Empty-{CO,RG,White,
+# Squashed}.mtl. Values are the public-domain Cardenas/McGuire data.
+_WHITE_LIGHT = Material.make(ka=(0.78, 0.78, 0.78), kd=(0.78, 0.78, 0.78),
+                             ke=(10.0, 10.0, 10.0), ns=10.0)
+
+
+def _wall(rgb, ns=10.0):
+    return Material.make(ka=rgb, kd=rgb, ns=ns)
+
+
+_EMPTY_OVERRIDES = {
+    "empty_co": {  # orange left wall, cyan right wall
+        "leftWall": _wall((0.953, 0.357, 0.212)),
+        "rightWall": _wall((0.486, 0.631, 0.663)),
+        "light": _WHITE_LIGHT,
+    },
+    "empty_rg": {},  # original red/green walls, original light
+    "empty_white": {
+        **{g: _wall((1.0, 1.0, 1.0))
+           for g in ("floor", "ceiling", "backWall", "leftWall", "rightWall")},
+        "light": _WHITE_LIGHT,
+    },
+    "empty_squashed": {  # red left wall, blue right wall
+        "rightWall": _wall((0.161, 0.133, 0.427)),
+        "light": _WHITE_LIGHT,
+    },
+}
+
 
 def _cornell_shell(material_overrides=None, drop_groups=()) -> List[MeshData]:
     """Cornell meshes (clean grouping) with per-group material swaps."""
@@ -379,7 +408,10 @@ def cornell_variant(name: str = "original") -> Scene:
     original | mirror (tallBox -> 0.95 specular, Ns 1000) |
     glossy (shortBox -> 0.8 specular, Ns 40) |
     sphere (boxes -> two analytic spheres, mirror-left/diffuse-right) |
-    water (boxes -> dense sine heightfield with the water material).
+    water (boxes -> dense sine heightfield with the water material) |
+    empty_co / empty_rg / empty_white (walls + light, no boxes; orange-cyan,
+    red-green, all-white walls) | empty_squashed (non-uniform y squash +
+    shallow water sheet) | empty_nolight (no emissive geometry; L=0 path).
     Materials match the reference .mtl files (src/models/cornell/*.mtl);
     sphere placement matches the leftSphere bounds of CornellBox-Sphere.obj.
     """
@@ -401,9 +433,31 @@ def cornell_variant(name: str = "original") -> Scene:
         meshes = _cornell_shell(drop_groups=("shortBox", "tallBox"))
         meshes.append(water_surface_mesh())
         return scene_from_mesh(meshes)
+    if name in _EMPTY_OVERRIDES:
+        # Empty boxes: shell + light panel only, per-variant wall swaps
+        # (CornellBox-Empty-*.obj keep the light but drop both boxes).
+        meshes = _cornell_shell(_EMPTY_OVERRIDES[name],
+                                drop_groups=("shortBox", "tallBox"))
+        if name == "empty_squashed":
+            # Non-uniform vertical squash (reference ceiling at y=1.59 vs
+            # 1.99) plus the shallow water sheet the squashed file carries.
+            ys = np.asarray([1.0, 1.59 / 1.99, 1.0], np.float32)
+            meshes = [
+                MeshData(name=m.name, vertices=m.vertices * ys, normals=None,
+                         uv=None, material=m.material)
+                for m in meshes
+            ]
+            meshes.append(water_surface_mesh(n=16, amplitude=0.02, y=0.22))
+        return scene_from_mesh(meshes)
+    if name == "empty_nolight":
+        # No emissive geometry at all — exercises the L=0 shading path
+        # (ambient-only image; no reference model, degenerate-case fixture).
+        return scene_from_mesh(
+            _cornell_shell(drop_groups=("shortBox", "tallBox", "light")))
     raise ValueError(
         f"unknown cornell variant {name!r}; "
-        "expected original|mirror|glossy|sphere|water"
+        "expected original|mirror|glossy|sphere|water|empty_co|empty_rg|"
+        "empty_white|empty_squashed|empty_nolight"
     )
 
 

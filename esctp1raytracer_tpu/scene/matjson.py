@@ -4,9 +4,15 @@ working.
 The reference ships `cornell_box.mat` (a JSON principled-material file)
 next to its OBJ, with the loader commented out
 (src/scene/sceneloader.cpp:108-146, model::getMaterial). Here the
-capability exists: a JSON file `{material_name: {ka/kd/ks/ke: [r,g,b],
-ns: float}}` overrides MTL materials after loading; unknown fields are
-ignored, unknown materials warned about.
+capability exists, for both schemas:
+
+* Phong fields directly: `{material_name: {ka/kd/ks/ke: [r,g,b], ns: f}}`.
+* The reference's typed schema (src/models/cornell_box.mat): a `Type`
+  field selects `principled` (baseColor/metallic/diffuse/specular),
+  `alloy` (color/edgeColor/roughness), `luminous` (color), or
+  `thinGlass` (eta/attenuationColor/attenuationDistance/thickness),
+  each mapped onto the renderer's Phong material (mapping documented per
+  converter below). Unknown types/fields warn and are ignored.
 """
 
 from __future__ import annotations
@@ -25,6 +31,57 @@ logger = get_logger(__name__)
 _FIELDS = ("ka", "kd", "ks", "ke", "ns")
 
 
+def _vec(fields: dict, key: str, default=(0.0, 0.0, 0.0)) -> np.ndarray:
+    return np.asarray(fields.get(key, default), np.float32).reshape(3)
+
+
+def _roughness_to_ns(roughness: float) -> float:
+    # Beckmann-roughness -> Blinn-Phong exponent (standard 2/a^2 - 2 map).
+    a = max(float(roughness), 1e-3)
+    return max(2.0 / (a * a) - 2.0, 2.0)
+
+
+def _typed_to_phong(name: str, typ: str, fields: dict) -> dict:
+    """Map one reference typed material onto Phong ka/kd/ks/ke/ns.
+
+    These are capability mappings, not BSDF-exact: the renderer is a
+    Whitted Phong tracer, so metals become tinted speculars, luminous
+    becomes ke, and thinGlass (no refraction path) becomes a strong
+    specular with the attenuation color as the diffuse tint (warned).
+    """
+    if typ == "principled":
+        base = _vec(fields, "baseColor", (1.0, 1.0, 1.0))
+        diffuse = float(fields.get("diffuse", 1.0))
+        specular = float(fields.get("specular", 0.0))
+        metallic = float(fields.get("metallic", 0.0))
+        kd = base * diffuse * (1.0 - metallic)
+        # metallic tints the highlight with the base color
+        ks = (np.float32(specular) * ((1.0 - metallic) * np.ones(3, np.float32)
+                                      + metallic * base))
+        ns = _roughness_to_ns(fields.get("roughness", 0.25))
+        return {"ka": kd, "kd": kd, "ks": ks.astype(np.float32), "ns": ns}
+    if typ == "alloy":
+        color = _vec(fields, "color", (1.0, 1.0, 1.0))
+        edge = _vec(fields, "edgeColor", color)
+        ks = ((color + edge) * 0.5).astype(np.float32)  # grazing/normal mix
+        ns = _roughness_to_ns(fields.get("roughness", 0.1))
+        dark = np.asarray((0.01, 0.01, 0.01), np.float32)
+        return {"ka": dark, "kd": dark, "ks": ks, "ns": ns}
+    if typ == "luminous":
+        color = _vec(fields, "color", (1.0, 1.0, 1.0))
+        power = float(fields.get("power", 1.0))
+        return {"ke": (color * power).astype(np.float32)}
+    if typ == "thinglass":
+        logger.warning(
+            "material %r: thinGlass has no refraction path in the Whitted "
+            "tracer; mapping to a specular surface", name)
+        atten = _vec(fields, "attenuationColor", (1.0, 1.0, 1.0))
+        return {"ka": atten * 0.05, "kd": atten * 0.05,
+                "ks": np.asarray((0.9, 0.9, 0.9), np.float32), "ns": 500.0}
+    logger.warning("material %r: unknown Type %r ignored", name, typ)
+    return {}
+
+
 def load_material_overrides(path: str) -> Dict[str, dict]:
     with open(path) as fh:
         data = json.load(fh)
@@ -34,6 +91,13 @@ def load_material_overrides(path: str) -> Dict[str, dict]:
     for name, fields in data.items():
         if not isinstance(fields, dict):
             raise ValueError(f"{path}: material {name!r} must be an object")
+        lowered = {k.lower(): k for k in fields}
+        if "type" in lowered:
+            typ = str(fields[lowered["type"]]).lower()
+            out[name] = _typed_to_phong(name, typ, {
+                k: v for k, v in fields.items() if k.lower() != "type"
+            })
+            continue
         override = {}
         for key, value in fields.items():
             lower = key.lower()

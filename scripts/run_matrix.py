@@ -49,7 +49,8 @@ def main() -> int:
     ap.add_argument("--look", default="0,1,0")
     ap.add_argument("--scene", default="original",
                     choices=("original", "mirror", "glossy", "sphere",
-                             "water"),
+                             "water", "empty_co", "empty_rg", "empty_white",
+                             "empty_squashed", "empty_nolight"),
                     help="Cornell model variant (src/models/cornell/*)")
     ap.add_argument("--depth", type=int, default=1,
                     help="Whitted reflection bounces")

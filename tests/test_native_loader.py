@@ -7,8 +7,11 @@ from esctp1raytracer_tpu.scene.builders import write_cornell_obj
 from esctp1raytracer_tpu.scene.native_loader import load_obj_native, native_available
 from esctp1raytracer_tpu.scene.objloader import load_obj
 
+from esctp1raytracer_tpu.utils.nativebuild import last_build_error
+
 pytestmark = pytest.mark.skipif(
-    not native_available(), reason="native loader could not be built"
+    not native_available(),
+    reason=f"native loader build failed: {last_build_error() or 'unknown'}",
 )
 
 
