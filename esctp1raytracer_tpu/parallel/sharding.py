@@ -10,9 +10,10 @@ parallelism strategies (SURVEY.md §2 strategy inventory):
   per step);
 * the ISPC SIMD-lanes-over-triangles strategy (src/ispc/trace.ispc:77-79)
   becomes the **'prims' mesh axis**: each device scans a slice of the
-  primitive table and the running (t, index) minimum is combined with an
-  all_gather + argmin across the axis — the collective form of the
-  blockwise closest-hit scan.
+  primitive table and the running (t, index) minimum is combined with
+  two O(rays) min all-reduces (pmin on t, then pmin on the tie-broken
+  index) — the collective form of the blockwise closest-hit scan,
+  independent of the axis size (an all_gather would move S*R tails).
 
 Training adds what the reference lacks entirely: per-shard backward passes
 with scene-parameter gradients all-reduced (`psum`) across the mesh, which
@@ -86,13 +87,17 @@ def _prim_sharded_search(cfg: RenderConfig, axis: str):
             o, d, local, eps, min(cfg.block_size, shard), use_mxu=cfg.backend != "jnp"
         )
         idx_loc = jnp.where(idx_loc >= 0, idx_loc + base, NO_HIT)
-        t_all = jax.lax.all_gather(t_loc, axis)  # [S, R]
-        idx_all = jax.lax.all_gather(idx_loc, axis)
-        # argmin over shards; ties -> lower shard index = lower tri index
-        # (shards are contiguous ascending slices).
-        win = jnp.argmin(t_all, axis=0)
-        t_best = jnp.take_along_axis(t_all, win[None], axis=0)[0]
-        idx_best = jnp.take_along_axis(idx_all, win[None], axis=0)[0]
+        # Pairwise min-combine: two O(R) all-reduces instead of an
+        # O(S*R) all_gather of every shard's tail. Ties at the global
+        # min t resolve to the lowest triangle index (same semantics as
+        # the single-device strict-< scan: shards are contiguous
+        # ascending slices, so the lowest idx among min-t achievers is
+        # the first-wins winner).
+        t_best = jax.lax.pmin(t_loc, axis)  # [R]
+        int_max = jnp.int32(np.iinfo(np.int32).max)
+        cand = jnp.where((t_loc == t_best) & (idx_loc >= 0), idx_loc, int_max)
+        idx_min = jax.lax.pmin(cand, axis)  # [R]
+        idx_best = jnp.where(idx_min == int_max, NO_HIT, idx_min)
         return t_best, idx_best
 
     return search
