@@ -227,6 +227,11 @@ def hits_from_features(
 
 NO_HIT = np.int32(-1)
 
+# Pass each ray's best sphere hit as a t-ceiling to the triangle-search
+# kernels' cull pre-pass (argmin_hit). Module flag so on-chip probes can
+# A/B it without re-plumbing RenderConfig.
+SPHERE_PREHIT = True
+
 
 @jax.tree_util.register_dataclass
 @dataclass
@@ -322,13 +327,24 @@ def argmin_hit(
     may use to cull work; passing it never changes which hits count — the
     caller still compares best_t against its limit.
     """
+    sph_t, sph_idx = _sphere_best(o, d, scene.spheres, eps)
     if tri_search is None:
         tri_t, tri_idx = _scan_blocks(o, d, scene.triangles, eps, block_size, use_mxu)
-    elif t_limit is not None:
-        tri_t, tri_idx = tri_search(o, d, scene.triangles, eps, t_limit=t_limit)
     else:
-        tri_t, tri_idx = tri_search(o, d, scene.triangles, eps)
-    sph_t, sph_idx = _sphere_best(o, d, scene.spheres, eps)
+        hint = t_limit
+        if hint is None and SPHERE_PREHIT:
+            # Sphere-first culling: a real sphere hit is a true upper
+            # bound on the winner, so triangle blocks entered beyond it
+            # can never contain the closest hit — free t-ceiling for the
+            # kernels' cull pre-pass (misses are BIG, which culls
+            # nothing). Exactness: the ceiling only drops blocks whose
+            # entry-t exceeds a known hit.
+            hint = jax.lax.stop_gradient(sph_t)
+        if hint is not None:
+            tri_t, tri_idx = tri_search(o, d, scene.triangles, eps,
+                                        t_limit=hint)
+        else:
+            tri_t, tri_idx = tri_search(o, d, scene.triangles, eps)
     is_sphere = sph_t < tri_t
     best_t = jnp.where(is_sphere, sph_t, tri_t)
     prim = jnp.where(is_sphere, sph_idx, tri_idx)

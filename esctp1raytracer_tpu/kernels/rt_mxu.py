@@ -50,7 +50,7 @@ from esctp1raytracer_tpu.core.intersect import (
 )
 from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
 from esctp1raytracer_tpu.kernels.rt_tile import (
-    _clustered_tables, _oversized_occl,
+    _clustered_tables, _oversized_min_t, _oversized_occl,
 )
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
@@ -351,7 +351,12 @@ def mxu_tile_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     r = o.shape[0]
     best_t = jnp.full((r,), BIG, jnp.float32)
     best_i = jnp.full((r,), NO_HIT, jnp.int32)
-    segments, _, _ = _segments(tris, exclude_oversized=False)
+    segments, ov_buf, _ = _segments(tris, exclude_oversized=False)
+    import esctp1raytracer_tpu.kernels.rt_tile as _rt_tile
+
+    if _rt_tile.PRIMARY_PREHIT:
+        hint = _oversized_min_t(o, d, ov_buf, eps_arr)
+        t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
     for tfq, aabbs, perm_k in segments:
         t_k, idx_k = _mxu_search(o, d, tfq, aabbs, eps_arr, t_limit,
                                  interpret, bf16x3=SEARCH_BF16X3)

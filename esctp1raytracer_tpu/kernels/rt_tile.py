@@ -93,13 +93,32 @@ def _clustered_tables(tris: TriangleBuffer):
     return st, perm, exclude, ov_buf, ov_orig
 
 
-def _oversized_occl(o, d, t_limit, ov_buf: TriangleBuffer, eps):
-    """One-pass XLA any-hit over the excluded set: [R] bool.
+# Primary-search pre-hit: sweep the (up to OVER_CAP) oversized triangles
+# in XLA first and use the closest hit among them as a t-ceiling for the
+# kernel's cull pre-pass. Exact (the ceiling is a real in-table hit), but
+# the uncullable [R, OVER_CAP] XLA sweep costs ~tens of ms at wavefront
+# scale — off by default pending an on-chip A/B (ROOFLINE round-3).
+PRIMARY_PREHIT = False
+
+
+def _oversized_min_t(o, d, ov_buf: TriangleBuffer, eps):
+    """Closest accepted t over the oversized buffer: [R] (BIG = none).
+
+    Same plane-constant formulation as the kernels; any returned t is a
+    true upper bound on the global winner because these triangles stay in
+    the search table.
+    """
+    t, ok = _oversized_hits(o, d, ov_buf, eps)
+    return jnp.min(jnp.where(ok, t, BIG), axis=1)
+
+
+def _oversized_hits(o, d, ov_buf: TriangleBuffer, eps):
+    """One-pass XLA sweep over the oversized set: (t [R, K], ok [R, K]).
 
     Deliberately the SAME plane-constant formulation and op order as
     `_occl_tile_kernel`'s block_body (not mt_intersect's cross-product
-    form), so the OR-merged result equals what the kernel would have
-    produced had these triangles stayed in the table.
+    form), so results merged with the kernel's equal what the kernel
+    would have produced had these triangles stayed in the table.
     """
     v0, v1, v2 = ov_buf.v0, ov_buf.v1, ov_buf.v2
     e1 = v1 - v0
@@ -127,9 +146,14 @@ def _oversized_occl(o, d, t_limit, ov_buf: TriangleBuffer, eps):
     pz = oz + t * dz
     u = wux * px + wuy * py + wuz * pz + bu
     v = wvx * px + wvy * py + wvz * pz + bv
-    ok = (ok_det & (jnp.minimum(u, v) >= eps) & (u + v <= 1.0) & (t >= eps)
-          & (t < t_limit[:, None]))
-    return jnp.any(ok, axis=1)
+    ok = ok_det & (jnp.minimum(u, v) >= eps) & (u + v <= 1.0) & (t >= eps)
+    return t, ok
+
+
+def _oversized_occl(o, d, t_limit, ov_buf: TriangleBuffer, eps):
+    """One-pass XLA any-hit over the excluded set: [R] bool."""
+    t, ok = _oversized_hits(o, d, ov_buf, eps)
+    return jnp.any(ok & (t < t_limit[:, None]), axis=1)
 
 
 def tri_constants_sub(tris: TriangleBuffer, exclude_oversized: bool = False):
@@ -545,7 +569,10 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
-        tc, aabbs, perm, _, _ = tri_constants_sub(tris)
+        tc, aabbs, perm, ov_buf, _ = tri_constants_sub(tris)
+        if PRIMARY_PREHIT:
+            hint = _oversized_min_t(o, d, ov_buf, eps_arr)
+            t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
         best_t, sorted_idx = _tile_search(o, d, tc, aabbs, eps_arr, t_limit,
                                           interpret)
         orig = jnp.take(perm, jnp.maximum(sorted_idx, 0))
@@ -554,7 +581,10 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
     r = o.shape[0]
     best_t = jnp.full((r,), BIG, jnp.float32)
     best_i = jnp.full((r,), NO_HIT, jnp.int32)
-    segments, _, _ = _sliced(tris)
+    segments, ov_buf, _ = _sliced(tris)
+    if PRIMARY_PREHIT:
+        hint = _oversized_min_t(o, d, ov_buf, eps_arr)
+        t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
     for tc, aabbs, perm_k in segments:
         t_k, idx_k = _tile_search(o, d, tc, aabbs, eps_arr, t_limit, interpret)
         orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
