@@ -54,6 +54,9 @@ def main() -> int:
                     help="Cornell model variant (src/models/cornell/*)")
     ap.add_argument("--depth", type=int, default=1,
                     help="Whitted reflection bounces")
+    ap.add_argument("--json", default="",
+                    help="also write the strategy table as JSON (the "
+                         "committed on-chip artifact, e.g. RUN_MATRIX.json)")
     args = ap.parse_args()
     width, height = (int(x) for x in args.size.split("x"))
     eye = tuple(float(x) for x in args.eye.split(","))
@@ -67,6 +70,7 @@ def main() -> int:
     mesh = make_mesh()
 
     images = {}
+    table_rows = []
     print(f"{'strategy':<12} {'backend':<8} {'first(ms)':>10} {'steady(ms)':>11} {'Mrays/s':>9}")
     for suffix, backend, sharded in STRATEGIES:
         # jnp's broadcast search needs chunking to bound its [chunk, N, 3]
@@ -88,6 +92,7 @@ def main() -> int:
         steady = (time.perf_counter() - t0) * 1e3
         mrays = width * height / (steady / 1e3) / 1e6
         print(f"{suffix:<12} {backend:<8} {first:>10.1f} {steady:>11.1f} {mrays:>9.2f}")
+        table_rows.append((suffix, backend, first, steady, mrays))
         arr = np.asarray(img)
         images[suffix] = arr
         write_ppm(os.path.join(args.out, f"output{suffix}.ppm"), arr)
@@ -96,14 +101,38 @@ def main() -> int:
     # borderline eps-window pixels may flip between backends).
     base = images["sequential"]
     ok = True
+    flips_by = {}
     for suffix, arr in images.items():
         if suffix == "sequential":
             continue
         diff = np.abs(arr - base).max(-1)
-        flips = (diff > 1e-3).mean()
+        flips = float((diff > 1e-3).mean())
+        flips_by[suffix] = flips
         status = "OK" if flips < 0.005 else "MISMATCH"
         ok &= flips < 0.005
         print(f"  {suffix:<10} vs sequential: {flips*100:.3f}% pixels differ -> {status}")
+    if args.json:
+        import json
+        import platform
+
+        rec = {
+            "workload": {"scene": f"cornell_{args.scene}" if args.scene != "original"
+                         else "cornell", "size": args.size, "eye": args.eye,
+                         "look": args.look, "depth": args.depth},
+            "backend_platform": jax.devices()[0].platform,
+            "device_kind": jax.devices()[0].device_kind,
+            "host": platform.node(),
+            "strategies": [
+                {"strategy": s, "backend": b, "first_ms": round(f, 1),
+                 "steady_ms": round(st, 1), "mrays_per_s": round(m, 2)}
+                for s, b, f, st, m in table_rows
+            ],
+            "cross_check_flip_frac": flips_by,
+            "all_match": ok,
+        }
+        with open(args.json, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"wrote {args.json}")
     return 0 if ok else 1
 
 
