@@ -160,7 +160,10 @@ def main():
                 "Same frame rendered unsharded vs sharded over n virtual "
                 "devices: total compute identical (shared physical cores), "
                 "executable cached per (mesh, cfg) so re-trace is excluded "
-                "— the delta IS the partition dispatch + collective cost.\n\n"
+                "— the delta bounds the partition dispatch + collective "
+                "cost. A NEGATIVE residual means the collectives cost less "
+                "than what multi-device execution gains in core "
+                "utilization: the overhead is below measurement floor.\n\n"
                 "| Devices | rays | jit ms | sharded ms | residual |\n"
                 "|---|---|---|---|---|\n")
             for n, rays_n, ms_j, ms_s in weak_rows:
