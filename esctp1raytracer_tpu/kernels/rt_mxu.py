@@ -54,7 +54,13 @@ from esctp1raytracer_tpu.kernels.rt_tile import (
 )
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
-RAY_TILE = 128  # rays per grid step = the matmul M dimension
+# Rays per grid step = the matmul M dimension. Also the cull-list
+# granularity: each group sweeps the UNION of its rays' candidate blocks,
+# so smaller M means tighter lists (fewer tested pairs) but more groups
+# (more per-step overhead + a wider pre-pass). Module-level so probes and
+# tests can A/B it (scripts/probe_mxu_m.py measures the sweep on-chip);
+# read at trace time by mxu_tile_search/mxu_tile_occlusion.
+RAY_TILE = 128
 SUB = 128       # triangles per block = 128 columns per quantity
 MXU_TRI_LIMIT = 32_768  # 256 blocks x [16, 512] f32 = 8.4 MB VMEM resident
 
@@ -133,12 +139,22 @@ def _mxu_kernel(bf16x3, eps_ref, ids_ref, cnt_ref, *refs):
         rfl_ref = tfl_ref = None
     eps = eps_ref[0]
     big = jnp.float32(BIG)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (RAY_TILE, SUB), 1)
-    rf_hi = rfh_ref[0]  # (128, 16) bf16 (or f32 when not bf16x3)
+    m = rfh_ref.shape[1]  # rays per group (the matmul M dimension)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (m, SUB), 1)
+    rf_hi = rfh_ref[0]  # (m, 16) bf16 (or f32 when not bf16x3)
     rf_lo = rfl_ref[0] if bf16x3 else None
 
+    # Epilogue budget: the sweep is VPU-issue-bound on these elementwise
+    # ops (~7 cycles per ray-row per block measured, the HIGHEST matmul
+    # hides under them), so every op counts:
+    #  - no div-by-0 guard select: det == 0 fails ok_det, and the poisoned
+    #    t/u/v (inf/NaN) can then never pass `better` (ok is ANDed in);
+    #  - no where(ok, t, big): fold ok into the carry compare instead;
+    #  - carry the winning BLOCK id per lane (one scalar-broadcast select)
+    #    instead of a materialized index tile; the triangle index is
+    #    rebuilt once per group as bb*SUB + lane after the loop.
     def body(k, carry):
-        bt, bi = carry
+        bt, bb = carry
         jb = ids_ref[0, 0, k]
         if bf16x3:
             s = _dot3(rf_hi, rf_lo, tfh_ref[jb], tfl_ref[jb])  # (128, 512)
@@ -153,22 +169,23 @@ def _mxu_kernel(bf16x3, eps_ref, ids_ref, cnt_ref, *refs):
         u_num = s[:, 256:384]
         v_num = s[:, 384:512]
         ok_det = jnp.abs(det) >= eps
-        inv = 1.0 / jnp.where(ok_det, det, 1.0)
+        inv = 1.0 / det
         t = t_num * inv
         u = u_num * inv
         v = v_num * inv
         ok = (ok_det & (jnp.minimum(u, v) >= eps) & (u + v <= 1.0)
               & (t >= eps))
-        t = jnp.where(ok, t, big)
-        idx = jb * SUB + lane_iota
-        better = t < bt  # strict <: earlier (lower-sorted) block wins ties
-        return jnp.where(better, t, bt), jnp.where(better, idx, bi)
+        # Strict <: earlier (lower-sorted) block wins ties. NaN t (det==0)
+        # compares false, and ok gates it anyway.
+        better = ok & (t < bt)
+        return jnp.where(better, t, bt), jnp.where(better, jb, bb)
 
-    init = (jnp.full((RAY_TILE, SUB), big, jnp.float32),
-            jnp.full((RAY_TILE, SUB), NO_HIT, jnp.int32))
-    bt, bi = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, init)
+    init = (jnp.full((m, SUB), big, jnp.float32),
+            jnp.full((m, SUB), NO_HIT, jnp.int32))
+    bt, bb = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body, init)
 
-    tmin = jnp.min(bt, axis=1, keepdims=True)           # (128, 1)
+    bi = jnp.where(bb >= 0, bb * SUB + lane_iota, _INT_BIG)
+    tmin = jnp.min(bt, axis=1, keepdims=True)           # (m, 1)
     cand = jnp.where(bt == tmin, bi, _INT_BIG)
     imin = jnp.min(cand, axis=1, keepdims=True)
     imin = jnp.where(tmin < big, imin, NO_HIT)
@@ -178,10 +195,16 @@ def _mxu_kernel(bf16x3, eps_ref, ids_ref, cnt_ref, *refs):
 
 def _mxu_occl_kernel(eps_ref, ids_ref, cnt_ref, rf_ref, tl_ref, tf_ref,
                      occ_ref):
-    """Any-hit variant: int32 OR-fold, t < t_limit window, no index carry."""
+    """Any-hit variant: bool OR-fold, t < t_limit window, no index carry.
+
+    Same epilogue trims as the search kernel (no div guard — det == 0
+    fails ok_det and NaN comparisons are false), plus a bool carry ORed
+    directly (one op) instead of max(occ, where(ok, 1, 0)).
+    """
     eps = eps_ref[0]
     rf = rf_ref[0]
-    tlim = tl_ref[0]  # (128, 1)
+    m = rf.shape[0]
+    tlim = tl_ref[0]  # (m, 1)
 
     def body(k, occ):
         jb = ids_ref[0, 0, k]
@@ -195,23 +218,23 @@ def _mxu_occl_kernel(eps_ref, ids_ref, cnt_ref, rf_ref, tl_ref, tf_ref,
         u_num = s[:, 256:384]
         v_num = s[:, 384:512]
         ok_det = jnp.abs(det) >= eps
-        inv = 1.0 / jnp.where(ok_det, det, 1.0)
+        inv = 1.0 / det
         t = t_num * inv
         u = u_num * inv
         v = v_num * inv
         ok = (ok_det & (jnp.minimum(u, v) >= eps) & (u + v <= 1.0)
               & (t >= eps) & (t < tlim))
-        return jnp.maximum(occ, jnp.where(ok, 1, 0))
+        return occ | ok
 
     occ = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body,
-                            jnp.zeros((RAY_TILE, SUB), jnp.int32))
-    occ_ref[0] = jnp.max(occ, axis=1, keepdims=True)
+                            jnp.zeros((m, SUB), bool))
+    occ_ref[0] = jnp.max(occ.astype(jnp.int32), axis=1, keepdims=True)
 
 
-def _prep_mxu(o, d, aabbs, t_limit):
-    """Pad rays to RAY_TILE, cull per 128-ray group, build feature rows."""
+def _prep_mxu(o, d, aabbs, t_limit, m=128):
+    """Pad rays to m, cull per m-ray group, build feature rows."""
     r = o.shape[0]
-    pad = (-r) % RAY_TILE
+    pad = (-r) % m
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate(
@@ -224,30 +247,30 @@ def _prep_mxu(o, d, aabbs, t_limit):
     rp = r + pad
     nsub = aabbs.shape[1]
     mask = block_cull_mask(o, d, aabbs, t_limit)
-    gmask = jnp.any(mask.reshape(rp // RAY_TILE, RAY_TILE, nsub), axis=1)
+    gmask = jnp.any(mask.reshape(rp // m, m, nsub), axis=1)
     ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
     cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
-    rf = ray_features(o, d).reshape(rp // RAY_TILE, RAY_TILE, 16)
+    rf = ray_features(o, d).reshape(rp // m, m, 16)
     ids = ids.reshape(-1, 1, nsub)
     cnt = cnt.reshape(-1, 1, 1)
     tl = (None if t_limit is None
-          else t_limit.reshape(rp // RAY_TILE, RAY_TILE, 1))
+          else t_limit.reshape(rp // m, m, 1))
     return rf, ids, cnt, tl, rp, nsub
 
 
-@partial(jax.jit, static_argnames=("interpret", "bf16x3"))
+@partial(jax.jit, static_argnames=("interpret", "bf16x3", "m"))
 def _mxu_search(o, d, tfq, aabbs, eps, t_limit=None, interpret: bool = False,
-                bf16x3: bool = False):
+                bf16x3: bool = False, m: int = 128):
     r = o.shape[0]
-    rf, ids, cnt, _, rp, nsub = _prep_mxu(o, d, aabbs, t_limit)
+    rf, ids, cnt, _, rp, nsub = _prep_mxu(o, d, aabbs, t_limit, m)
     if bf16x3:
         rf_hi, rf_lo = _split_bf16(rf)
         tf_hi, tf_lo = _split_bf16(tfq)
         tensors = (rf_hi, rf_lo, tf_hi, tf_lo)
     else:
         tensors = (rf, tfq)
-    grid = rp // RAY_TILE
-    rf_spec = pl.BlockSpec((1, RAY_TILE, 16), lambda i, *_: (i, 0, 0),
+    grid = rp // m
+    rf_spec = pl.BlockSpec((1, m, 16), lambda i, *_: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     tf_spec = pl.BlockSpec(tfq.shape, lambda i, *_: (0, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -266,26 +289,27 @@ def _mxu_search(o, d, tfq, aabbs, eps, t_limit=None, interpret: bool = False,
                 *tensor_specs,
             ],
             out_specs=[
-                pl.BlockSpec((1, RAY_TILE, 1), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, m, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, RAY_TILE, 1), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, m, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((grid, RAY_TILE, 1), jnp.float32),
-            jax.ShapeDtypeStruct((grid, RAY_TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((grid, m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((grid, m, 1), jnp.int32),
         ],
         interpret=interpret,
     )(eps, ids, cnt, *tensors)
     return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _mxu_occl(o, d, t_limit, tfq, aabbs, eps, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "m"))
+def _mxu_occl(o, d, t_limit, tfq, aabbs, eps, interpret: bool = False,
+              m: int = 128):
     r = o.shape[0]
-    rf, ids, cnt, tl, rp, nsub = _prep_mxu(o, d, aabbs, t_limit)
-    grid = rp // RAY_TILE
+    rf, ids, cnt, tl, rp, nsub = _prep_mxu(o, d, aabbs, t_limit, m)
+    grid = rp // m
     out = pl.pallas_call(
         _mxu_occl_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -296,20 +320,20 @@ def _mxu_occl(o, d, t_limit, tfq, aabbs, eps, interpret: bool = False):
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, RAY_TILE, 16), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, m, 16), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, RAY_TILE, 1), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, m, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(tfq.shape, lambda i, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, RAY_TILE, 1), lambda i, *_: (i, 0, 0),
+                pl.BlockSpec((1, m, 1), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((grid, RAY_TILE, 1), jnp.int32),
+            jax.ShapeDtypeStruct((grid, m, 1), jnp.int32),
         ],
         interpret=interpret,
     )(eps, ids, cnt, rf, tl, tfq)
@@ -359,7 +383,7 @@ def mxu_tile_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
         t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
     for tfq, aabbs, perm_k in segments:
         t_k, idx_k = _mxu_search(o, d, tfq, aabbs, eps_arr, t_limit,
-                                 interpret, bf16x3=SEARCH_BF16X3)
+                                 interpret, bf16x3=SEARCH_BF16X3, m=RAY_TILE)
         orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
         orig_k = jnp.where(idx_k >= 0, orig_k, NO_HIT)
         better = t_k < best_t  # earlier segment wins ties (first-wins)
@@ -376,7 +400,8 @@ def mxu_tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
     occluded = jnp.zeros((o.shape[0],), bool)
     segments, ov_buf, _ = _segments(tris, exclude_oversized=True)
     for tfq, aabbs, _ in segments:
-        occluded |= _mxu_occl(o, d, t_limit, tfq, aabbs, eps_arr, interpret)
+        occluded |= _mxu_occl(o, d, t_limit, tfq, aabbs, eps_arr, interpret,
+                              m=RAY_TILE)
     return occluded | _oversized_occl(o, d, t_limit, ov_buf, eps_arr)
 
 

@@ -244,8 +244,14 @@ def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
         ox, oy, oz, dx, dy, dz = _build_ray_tiles(rays_ref, g, range(6),
                                                   sub_iota)
 
+        # Epilogue trims (shared with rt_mxu._mxu_kernel, see the budget
+        # note there): no div-by-0 guard select (det == 0 fails ok_det and
+        # a NaN t compares false everywhere), ok folded into the carry
+        # compare instead of a where(ok, t, big), and the carry holds the
+        # winning BLOCK id per lane — the triangle index is rebuilt once
+        # per bundle after the loop.
         def block_body(k, carry):
-            bt, bi = carry
+            bt, bb = carry
             jb = ids_ref[0, 0, g * nsub_max + k]
             nx = tc_ref[jb, 0:1, :]
             ny = tc_ref[jb, 1:2, :]
@@ -261,7 +267,7 @@ def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
             bv = tc_ref[jb, 11:12, :]
             det = -(dx * nx + dy * ny + dz * nz)
             ok_det = jnp.abs(det) >= eps
-            inv = 1.0 / jnp.where(ok_det, det, 1.0)
+            inv = 1.0 / det
             t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
             px = ox + t * dx
             py = oy + t * dy
@@ -274,19 +280,18 @@ def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
                 & (u + v <= 1.0)
                 & (t >= eps)
             )
-            t = jnp.where(ok, t, big)
-            idx = jb * SUB + lane_iota
             # Strict <: the earlier (lower Morton-sorted) sub-block wins
             # ties, preserving the first-wins rule across the carry.
-            better = t < bt
-            return (jnp.where(better, t, bt), jnp.where(better, idx, bi))
+            better = ok & (t < bt)
+            return (jnp.where(better, t, bt), jnp.where(better, jb, bb))
 
         init = (jnp.full((8, 128), big, jnp.float32),
                 jnp.full((8, 128), NO_HIT, jnp.int32))
-        bt, bi = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body, init)
+        bt, bb = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body, init)
 
         # ONE cross-lane fold per bundle finishes all 8 rays: lowest index
         # among equal-t lanes = first in sorted order.
+        bi = jnp.where(bb >= 0, bb * SUB + lane_iota, _INT_BIG)
         tmin = jnp.min(bt, axis=1, keepdims=True)               # (8, 1)
         cand = jnp.where(bt == tmin, bi, _INT_BIG)
         imin = jnp.min(cand, axis=1, keepdims=True)
@@ -326,7 +331,7 @@ def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
             bv = tc_ref[jb, 11:12, :]
             det = -(dx * nx + dy * ny + dz * nz)
             ok_det = jnp.abs(det) >= eps
-            inv = 1.0 / jnp.where(ok_det, det, 1.0)
+            inv = 1.0 / det
             t = ((ox * nx + oy * ny + oz * nz) - nv0) * inv
             px = ox + t * dx
             py = oy + t * dy
@@ -339,11 +344,12 @@ def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
                 & (u + v <= 1.0)
                 & (t >= eps) & (t < tlim)
             )
-            return jnp.maximum(occ, jnp.where(ok, 1, 0))
+            return occ | ok
 
         occ = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body,
-                                jnp.zeros((8, 128), jnp.int32))
-        occ_ref[0, :, g:g + 1] = jnp.max(occ, axis=1, keepdims=True)
+                                jnp.zeros((8, 128), bool))
+        occ_ref[0, :, g:g + 1] = jnp.max(occ.astype(jnp.int32), axis=1,
+                                         keepdims=True)
 
     for g in range(num_groups):
         group_body(g)

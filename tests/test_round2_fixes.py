@@ -93,7 +93,7 @@ class TestRecomputeFallback:
         o = jnp.asarray([[5.0, 5.0, 1.0]], jnp.float32)
         d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
 
-        def fake_search(oo, dd, tris, eps):
+        def fake_search(oo, dd, tris, eps, t_limit=None):
             return (jnp.full((1,), 2.5, jnp.float32),
                     jnp.zeros((1,), jnp.int32))
 
