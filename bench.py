@@ -128,6 +128,27 @@ WIDTH, HEIGHT = 1920, 1080
 DEPTH = 1  # primary + shadow rays, matching the reference pipeline shape
 
 
+def compile_with_fallback(chain, make_fns):
+    """Headline-leg fallback chain (round-3 lesson: one broken kernel
+    zeroed the round's only metric — BENCH_r03 = 0.0 on a Mosaic lowering
+    failure in the auto-route occlusion kernel). `make_fns(backend)` must
+    compile and warm up; on any exception the next backend is tried. A
+    kernel regression should cost a footnote, not the round's metric.
+
+    Returns (backend_that_worked, make_fns_result)."""
+    last = None
+    for attempt_backend in chain:
+        try:
+            return attempt_backend, make_fns(attempt_backend)
+        except Exception as exc:
+            last = exc
+            print(f"[bench] backend {attempt_backend!r} failed "
+                  f"({type(exc).__name__}: {str(exc)[:500]}); "
+                  "trying next in chain", file=sys.stderr)
+    raise RuntimeError(
+        f"every backend in the fallback chain failed (last: {last})")
+
+
 def build_scene():
     meshes = [
         icosphere_mesh(subdivisions=4, radius=1.0, center=(-1.3, 1.0, 0.0)),
@@ -145,31 +166,39 @@ def main():
     cam = Camera.look_at((0.0, 2.0, 6.0), (0.0, 1.0, 0.0), vfov=60.0,
                          aspect=WIDTH / HEIGHT)
     backend = os.environ.get("ESCTP_BENCH_BACKEND", "auto")
-    # ray_chunk=0: the whole 1080p wavefront in one pass — measured faster
-    # than lax.map chunking for both forward (507 vs 501 ms, parity) and
-    # backward (985 vs 1172 ms; chunking forces per-chunk rematerialization).
-    cfg = RenderConfig(backend=backend, ray_chunk=0, block_size=512,
-                       depth=DEPTH)
     o, d = cam.ray_grid(WIDTH, HEIGHT)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
     ids = jnp.arange(o.shape[0], dtype=jnp.uint32)
     num_rays = o.shape[0]
     params = float_params(scene)
 
-    def loss_fn(ps):
-        sc = merge_params(scene, ps)
-        color = trace_rays(o, d, sc, ids, cfg)
-        return jnp.sum(color * color)
+    def make_fns(attempt_backend):
+        # ray_chunk=0: the whole 1080p wavefront in one pass — measured
+        # faster than lax.map chunking for both forward (507 vs 501 ms,
+        # parity) and backward (985 vs 1172 ms; chunking forces per-chunk
+        # rematerialization). The lane kernel caps at 4096 triangles and
+        # raises on this 10k scene, so in practice the chain degrades
+        # auto -> tile -> jnp; lane stays in the chain for smaller
+        # ESCTP_BENCH_BACKEND override scenes.
+        cfg = RenderConfig(backend=attempt_backend, ray_chunk=0,
+                           block_size=512, depth=DEPTH)
 
-    fwd_bwd = jax.jit(jax.grad(loss_fn))
-    fwd_only = jax.jit(lambda ps: jnp.sum(
-        trace_rays(o, d, merge_params(scene, ps), ids, cfg) ** 2))
+        def loss_fn(ps):
+            sc = merge_params(scene, ps)
+            color = trace_rays(o, d, sc, ids, cfg)
+            return jnp.sum(color * color)
 
-    # Warmup (compile)
-    g = fwd_bwd(params)
-    jax.block_until_ready(g)
-    x = fwd_only(params)
-    jax.block_until_ready(x)
+        fwd_bwd = jax.jit(jax.grad(loss_fn))
+        fwd_only = jax.jit(loss_fn)
+        # Warmup (compile) — a Mosaic lowering failure surfaces here.
+        jax.block_until_ready(fwd_bwd(params))
+        jax.block_until_ready(fwd_only(params))
+        return fwd_bwd, fwd_only, cfg
+
+    backend, (fwd_bwd, fwd_only, cfg) = compile_with_fallback(
+        [backend] + [b for b in ("tile", "lane", "jnp") if b != backend],
+        make_fns)
+    print(f"headline backend: {backend}", file=sys.stderr)
     print(f"setup+compile: {time.time()-t_setup:.1f}s", file=sys.stderr)
 
     def time_it(fn, *args, iters=5, batches=3):
@@ -262,6 +291,7 @@ def main():
         "value": round(rays_fb, 1),
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "backend": backend,
     }))
 
 

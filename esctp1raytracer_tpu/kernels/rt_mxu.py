@@ -195,11 +195,12 @@ def _mxu_kernel(bf16x3, eps_ref, ids_ref, cnt_ref, *refs):
 
 def _mxu_occl_kernel(eps_ref, ids_ref, cnt_ref, rf_ref, tl_ref, tf_ref,
                      occ_ref):
-    """Any-hit variant: bool OR-fold, t < t_limit window, no index carry.
+    """Any-hit variant: int32 OR-fold, t < t_limit window, no index carry.
 
     Same epilogue trims as the search kernel (no div guard — det == 0
-    fails ok_det and NaN comparisons are false), plus a bool carry ORed
-    directly (one op) instead of max(occ, where(ok, 1, 0)).
+    fails ok_det and NaN comparisons are false). The OR-fold carry is
+    int32, not bool: Mosaic cannot lower vector<i1> fori_loop carries on
+    TPU (infer-vector-layout failure on the real chip).
     """
     eps = eps_ref[0]
     rf = rf_ref[0]
@@ -224,11 +225,11 @@ def _mxu_occl_kernel(eps_ref, ids_ref, cnt_ref, rf_ref, tl_ref, tf_ref,
         v = v_num * inv
         ok = (ok_det & (jnp.minimum(u, v) >= eps) & (u + v <= 1.0)
               & (t >= eps) & (t < tlim))
-        return occ | ok
+        return occ | ok.astype(jnp.int32)
 
     occ = jax.lax.fori_loop(0, cnt_ref[0, 0, 0], body,
-                            jnp.zeros((m, SUB), bool))
-    occ_ref[0] = jnp.max(occ.astype(jnp.int32), axis=1, keepdims=True)
+                            jnp.zeros((m, SUB), jnp.int32))
+    occ_ref[0] = jnp.max(occ, axis=1, keepdims=True)
 
 
 def _prep_mxu(o, d, aabbs, t_limit, m=128):

@@ -344,12 +344,13 @@ def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
                 & (u + v <= 1.0)
                 & (t >= eps) & (t < tlim)
             )
-            return occ | ok
+            # int32 carry: Mosaic cannot lower vector<i1> fori_loop carries
+            # on TPU (infer-vector-layout failure); keep the OR-fold in i32.
+            return occ | ok.astype(jnp.int32)
 
         occ = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body,
-                                jnp.zeros((8, 128), bool))
-        occ_ref[0, :, g:g + 1] = jnp.max(occ.astype(jnp.int32), axis=1,
-                                         keepdims=True)
+                                jnp.zeros((8, 128), jnp.int32))
+        occ_ref[0, :, g:g + 1] = jnp.max(occ, axis=1, keepdims=True)
 
     for g in range(num_groups):
         group_body(g)

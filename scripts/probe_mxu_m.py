@@ -12,11 +12,14 @@ Legs per M in {32, 64, 128, 256}:
   - primary closest-hit sweep (warm, pipelined batch best)
   - shadow any-hit sweep on the real shadow wavefront
   - e2e forward (trace_rays, backend="mxtile")
-Winner agreement vs M=128 is asserted on every leg.
+The 128 leg always runs first (it is the agreement reference); every
+other leg asserts exact primary/occlusion winner agreement vs M=128.
 """
 import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 MS = tuple(int(x) for x in sys.argv[1:]) or (128, 64, 32, 256)
+# The m=128 leg is the agreement reference: run it first unconditionally.
+MS = (128,) + tuple(m for m in MS if m != 128)
 import jax, jax.numpy as jnp, numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -98,24 +101,33 @@ for m in sorted(MS):
           f"pairs={pairs/1e9:6.2f}G", flush=True)
 
 ref = {}
-for m in MS:
-    rt_mxu.RAY_TILE = m
-    print(f"--- M = {m}", flush=True)
-    s = jax.jit(lambda m=m: mxu_tile_search(o, d, scene.triangles, eps))
-    _, (t_m, p_m) = timed(f"primary search M={m}", s)
-    q = jax.jit(lambda m=m: mxu_tile_occlusion(so, sd, stl, scene.triangles,
-                                               eps))
-    _, occ_m = timed(f"shadow any-hit M={m}", q)
-    cfg = RenderConfig(backend="mxtile", ray_chunk=0, block_size=512, depth=1)
-    f = jax.jit(lambda m=m, c=cfg: jnp.sum(trace_rays(o, d, scene, ids, c)))
-    _, img_m = timed(f"forward e2e M={m}", f)
-    if m == 128:
-        ref = dict(p=np.asarray(p_m), occ=np.asarray(occ_m),
-                   img=float(img_m))
-    else:
-        pa = (np.asarray(p_m) == ref["p"]).mean()
-        oa = (np.asarray(occ_m) == ref["occ"]).mean()
-        print(f"  winner agreement vs M=128: primary {pa:.6f} "
-              f"occl {oa:.6f} img sum d={abs(float(img_m)-ref['img']):.3e}",
-              flush=True)
-rt_mxu.RAY_TILE = 128
+try:
+    for m in MS:
+        rt_mxu.RAY_TILE = m
+        print(f"--- M = {m}", flush=True)
+        s = jax.jit(lambda m=m: mxu_tile_search(o, d, scene.triangles, eps))
+        _, (t_m, p_m) = timed(f"primary search M={m}", s)
+        q = jax.jit(lambda m=m: mxu_tile_occlusion(so, sd, stl,
+                                                   scene.triangles, eps))
+        _, occ_m = timed(f"shadow any-hit M={m}", q)
+        cfg = RenderConfig(backend="mxtile", ray_chunk=0, block_size=512,
+                           depth=1)
+        f = jax.jit(lambda m=m, c=cfg: jnp.sum(trace_rays(o, d, scene, ids, c)))
+        _, img_m = timed(f"forward e2e M={m}", f)
+        if m == 128:
+            ref = dict(p=np.asarray(p_m), occ=np.asarray(occ_m),
+                       img=float(img_m))
+        else:
+            pa = (np.asarray(p_m) == ref["p"]).mean()
+            oa = (np.asarray(occ_m) == ref["occ"]).mean()
+            print(f"  winner agreement vs M=128: primary {pa:.6f} "
+                  f"occl {oa:.6f} "
+                  f"img sum d={abs(float(img_m)-ref['img']):.3e}",
+                  flush=True)
+            assert pa == 1.0 and oa == 1.0, (
+                f"M={m} disagrees with the M=128 reference "
+                f"(primary {pa}, occl {oa})")
+finally:
+    # The sweep mutates the module global; restore even on mid-sweep
+    # failure so anything else in the process sees the default.
+    rt_mxu.RAY_TILE = 128

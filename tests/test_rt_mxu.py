@@ -116,6 +116,30 @@ class TestMxuTile:
         diff = np.abs(a - b)
         assert diff.mean() < 1e-4
 
+    @pytest.mark.parametrize("m_rays", [32, 64, 256])
+    def test_ray_tile_m_matches_default(self, mesh, m_rays):
+        """Non-default RAY_TILE m (the matmul M dim) must agree with
+        m=128 exactly: same formulation, same f32 math, only the ray
+        grouping (and thus the per-group cull unions) changes. Covers the
+        _prep_mxu reshapes / BlockSpec shapes / kernel m-from-ref-shape
+        plumbing at m != 128 in interpret mode (ADVICE r03)."""
+        import esctp1raytracer_tpu.kernels.rt_mxu as m
+        o, d = CAM.ray_grid(40, 24)  # 960 rays: not a multiple of 256
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        t_ref, p_ref = mxu_tile_search(o, d, mesh.triangles, EPS_A)
+        tl = jnp.full((o.shape[0],), 4.0, jnp.float32)
+        occ_ref = mxu_tile_occlusion(o, d, tl, mesh.triangles, EPS_A)
+        try:
+            m.RAY_TILE = m_rays
+            t_m, p_m = mxu_tile_search(o, d, mesh.triangles, EPS_A)
+            occ_m = mxu_tile_occlusion(o, d, tl, mesh.triangles, EPS_A)
+        finally:
+            m.RAY_TILE = 128
+        np.testing.assert_array_equal(np.asarray(p_m), np.asarray(p_ref))
+        np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_ref),
+                                   rtol=0, atol=0)
+        np.testing.assert_array_equal(np.asarray(occ_m), np.asarray(occ_ref))
+
     def test_segmented_big_table(self, mesh):
         """Tables above MXU_TRI_LIMIT slice into resident segments."""
         import esctp1raytracer_tpu.kernels.rt_mxu as m
