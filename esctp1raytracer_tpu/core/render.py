@@ -59,33 +59,61 @@ class RenderConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _auto_backend(scene: Scene = None) -> str:
+    """Size-based half of the "auto" routing (the fused whole-frame gate
+    runs earlier, in trace_rays): lane < 4k tris <= mxtile <= one VMEM
+    segment < tile. Thresholds measured on-chip:
+
+    Small tables: the ray-lane brute-force kernel (every VPU lane a
+    ray, scalar loop over triangles) — its cost scales with N and
+    beats both the bundle kernel's per-ray floor and the MXU path's
+    [R, N] HBM intermediates. Mid-size tables (one VMEM-resident
+    segment): the MXU tile kernel — the Möller-Trumbore trilinear
+    forms as a [128,16]@[16,512] systolic matmul per block; beats
+    the VPU tile kernel 1.26-1.45x (flagship forward 219 vs 276 ms,
+    scripts/probe_mxu.py), pixel-identical. Beyond one segment the
+    (8 rays x 128 tris) VPU tile kernel takes over: its whole-table
+    residency + 8-ray cull granularity win decisively on the
+    segmented 100k-tri regime (config 5: tile 2.7 s vs mxtile 22 s
+    — per-128-ray cull unions collapse on incoherent soup).
+    """
+    n = scene.triangles.capacity if scene is not None else 0
+    if n < 4096:
+        return "lane"
+    from esctp1raytracer_tpu.kernels.rt_mxu import MXU_TRI_LIMIT
+
+    return "mxtile" if n <= MXU_TRI_LIMIT else "tile"
+
+
+def resolve_backend(cfg: RenderConfig, scene: Scene = None) -> str:
+    """Concrete backend name trace_rays will route (cfg, scene) to —
+    the fused whole-frame gate first, then the size-based auto rule.
+    Reporting/artifact helper (MATRIX_rN legs record which kernel ran);
+    traces nothing."""
+    backend = cfg.backend
+    if backend in ("fused", "auto") and scene is not None:
+        from esctp1raytracer_tpu.kernels.fused_pallas import (
+            _fallback_cfg, fused_supported,
+        )
+
+        if fused_supported(scene, cfg.depth, cfg.light_mode):
+            return "fused"
+        if backend == "fused":
+            backend = _fallback_cfg(scene, cfg).backend
+    if backend == "auto":
+        backend = _auto_backend(scene)
+    return backend
+
+
 def _search_fns(cfg: RenderConfig, scene: Scene = None):
     """Resolve the closest-hit / any-hit triangle search for a backend.
 
-    "auto" picks per scene size (thresholds measured on-chip, see the
-    comment below): lane < 4k tris <= mxtile <= one VMEM segment < tile.
+    "auto" picks per scene size (thresholds measured on-chip, see
+    _auto_backend): lane < 4k tris <= mxtile <= one VMEM segment < tile.
     """
     backend = cfg.backend
     if backend == "auto":
-        n = scene.triangles.capacity if scene is not None else 0
-        # Small tables: the ray-lane brute-force kernel (every VPU lane a
-        # ray, scalar loop over triangles) — its cost scales with N and
-        # beats both the bundle kernel's per-ray floor and the MXU path's
-        # [R, N] HBM intermediates. Mid-size tables (one VMEM-resident
-        # segment): the MXU tile kernel — the Möller-Trumbore trilinear
-        # forms as a [128,16]@[16,512] systolic matmul per block; beats
-        # the VPU tile kernel 1.26-1.45x (flagship forward 219 vs 276 ms,
-        # scripts/probe_mxu.py), pixel-identical. Beyond one segment the
-        # (8 rays x 128 tris) VPU tile kernel takes over: its whole-table
-        # residency + 8-ray cull granularity win decisively on the
-        # segmented 100k-tri regime (config 5: tile 2.7 s vs mxtile 22 s
-        # — per-128-ray cull unions collapse on incoherent soup).
-        if n < 4096:
-            backend = "lane"
-        else:
-            from esctp1raytracer_tpu.kernels.rt_mxu import MXU_TRI_LIMIT
-
-            backend = "mxtile" if n <= MXU_TRI_LIMIT else "tile"
+        backend = _auto_backend(scene)
     if backend == "lane":
         from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
 

@@ -18,6 +18,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -29,7 +30,7 @@ import jax.numpy as jnp  # noqa: E402
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from esctp1raytracer_tpu import Camera, RenderConfig  # noqa: E402
-from esctp1raytracer_tpu.core.render import trace_rays  # noqa: E402
+from esctp1raytracer_tpu.core.render import resolve_backend, trace_rays  # noqa: E402
 from esctp1raytracer_tpu.parallel.sharding import float_params, merge_params  # noqa: E402
 from esctp1raytracer_tpu.scene import builders  # noqa: E402
 
@@ -92,7 +93,9 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
     dt_f = timeit(fwd)
     record = {
         "config": name, "rays": rays, "tris": scene.num_triangles,
-        "depth": depth, "forward_ms": round(dt_f * 1e3, 1),
+        "depth": depth, "backend": resolve_backend(cfg, scene),
+        "device": jax.devices()[0].device_kind,
+        "forward_ms": round(dt_f * 1e3, 1),
         "forward_rays_per_s": round(rays / dt_f, 1),
     }
     if backward:
@@ -113,15 +116,34 @@ def run_config(name, make_scene, eye, width, height, depth, backward=True):
 
 
 def main():
-    only = sys.argv[1] if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_path = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                      if a.startswith("--json=")), None)
+    only = args[0] if args else None
     if only is None:
         # One subprocess per config: a single long-lived process accretes
         # device state and the timings of later configs degrade badly
         # (measured >10x); isolated processes give stable numbers.
         import subprocess
+        lines = []
         for name, *_ in CONFIGS:
-            subprocess.run([sys.executable, os.path.abspath(__file__), name],
-                           check=False)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                check=False, capture_output=True, text=True)
+            sys.stderr.write(proc.stderr)
+            sys.stdout.write(proc.stdout)
+            sys.stdout.flush()
+            lines += [ln for ln in proc.stdout.splitlines()
+                      if ln.startswith("{")]
+        if json_path:
+            # The committed on-chip artifact (e.g. MATRIX_r04.json): one
+            # record per BASELINE config, backend + device per leg.
+            records = [json.loads(ln) for ln in lines]
+            with open(json_path, "w") as f:
+                json.dump(records, f, indent=1)
+                f.write("\n")
+            print(f"# wrote {json_path} ({len(records)} configs)",
+                  file=sys.stderr)
         return
     for name, make_scene, eye, w, h, depth in CONFIGS:
         if only not in name:
