@@ -318,6 +318,7 @@ def argmin_hit(
     use_mxu: bool = True,
     tri_search=None,
     t_limit: jax.Array = None,
+    coherent: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Find the winning primitive per ray: (best_t, prim_idx, is_sphere).
 
@@ -340,11 +341,16 @@ def argmin_hit(
             # nothing). Exactness: the ceiling only drops blocks whose
             # entry-t exceeds a known hit.
             hint = jax.lax.stop_gradient(sph_t)
+        # `coherent` (shared-origin wavefront, e.g. camera rays) is a
+        # pre-pass performance hint for backends that declare support —
+        # it never changes which hits count.
+        kw = ({"coherent": coherent}
+              if getattr(tri_search, "supports_coherent", False) else {})
         if hint is not None:
             tri_t, tri_idx = tri_search(o, d, scene.triangles, eps,
-                                        t_limit=hint)
+                                        t_limit=hint, **kw)
         else:
-            tri_t, tri_idx = tri_search(o, d, scene.triangles, eps)
+            tri_t, tri_idx = tri_search(o, d, scene.triangles, eps, **kw)
     is_sphere = sph_t < tri_t
     best_t = jnp.where(is_sphere, sph_t, tri_t)
     prim = jnp.where(is_sphere, sph_idx, tri_idx)
@@ -396,6 +402,7 @@ def closest_hit(
     use_mxu: bool = True,
     tri_search=None,
     with_row: bool = False,
+    coherent: bool = False,
 ):
     """Differentiable closest hit.
 
@@ -415,6 +422,7 @@ def closest_hit(
     best_t, prim, is_sphere = argmin_hit(
         jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
         jax.lax.stop_gradient(scene), eps, block_size, use_mxu, tri_search,
+        coherent=coherent,
     )
     safe_prim = jnp.maximum(prim, 0)
 

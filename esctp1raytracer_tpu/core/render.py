@@ -230,6 +230,10 @@ def trace_rays(
             o, d, scene, eps,
             block_size=cfg.block_size, use_mxu=use_mxu, tri_search=tri_search,
             with_row=True,
+            # Bounce 0 is the camera wavefront (shared origin): backends
+            # that support it use the cheap interval cull pre-pass.
+            # Reflection bounces originate at scattered hit points.
+            coherent=(bounce == 0),
         )
         if current_level() >= TRACE:
             # The reference dumps per-hit info under --trace

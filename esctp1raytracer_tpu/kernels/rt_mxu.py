@@ -48,7 +48,11 @@ from jax.experimental.pallas import tpu as pltpu
 from esctp1raytracer_tpu.core.intersect import (
     BIG, NO_HIT, ray_features, tri_features,
 )
-from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+from esctp1raytracer_tpu.kernels.hit_pallas import (
+    block_cull_mask,
+    extract_lists,
+    group_cull_mask,
+)
 from esctp1raytracer_tpu.kernels.rt_tile import (
     _clustered_tables, _oversized_min_t, _oversized_occl,
 )
@@ -112,6 +116,20 @@ def _pack_mxu(sorted_tris: TriangleBuffer, exclude=None):
 # quirk that flipped ~6% of Cornell shadow tests at bf16x3 in the XLA
 # mxu backend — core/intersect.py:hits_from_features).
 SEARCH_BF16X3 = False
+
+# Pre-pass mode override (None = auto = "argsort"), same semantics and
+# round-4 measurements as rt_tile.CULL_MODE: the interval/extraction
+# alternatives are a measured end-to-end negative (heavy-tailed list
+# lengths overflow the extraction; the m=128 origin hull of a shadow
+# wavefront explodes — flagship any-hit 95 -> 444 ms). The override keeps
+# them selectable for probes and future shapes.
+CULL_MODE = None
+
+
+def _resolve_cull_mode(coherent: bool, nsub: int = 0) -> str:
+    if CULL_MODE is not None:
+        return CULL_MODE
+    return "argsort"
 _OCCL_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -232,8 +250,10 @@ def _mxu_occl_kernel(eps_ref, ids_ref, cnt_ref, rf_ref, tl_ref, tf_ref,
     occ_ref[0] = jnp.max(occ, axis=1, keepdims=True)
 
 
-def _prep_mxu(o, d, aabbs, t_limit, m=128):
-    """Pad rays to m, cull per m-ray group, build feature rows."""
+def _prep_mxu(o, d, aabbs, t_limit, m=128, cull_mode="exact"):
+    """Pad rays to m, cull per m-ray group, build feature rows.
+
+    `cull_mode` must arrive as a jit-static value (see rt_tile._prep)."""
     r = o.shape[0]
     pad = (-r) % m
     if pad:
@@ -247,10 +267,21 @@ def _prep_mxu(o, d, aabbs, t_limit, m=128):
             )
     rp = r + pad
     nsub = aabbs.shape[1]
-    mask = block_cull_mask(o, d, aabbs, t_limit)
-    gmask = jnp.any(mask.reshape(rp // m, m, nsub), axis=1)
-    ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
-    cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
+    if cull_mode == "interval":
+        # One interval slab test per m-ray group instead of m per-ray
+        # tests + OR-fold; sort-free extraction (see rt_tile._cull_lists
+        # and probe_prepass.py). Shared-origin wavefronts only: the m-ray
+        # origin hull of a shadow wavefront is unboundedly loose.
+        gmask = group_cull_mask(o, d, aabbs, t_limit, group=m)
+        ids, cnt = extract_lists(gmask)
+    else:
+        mask = block_cull_mask(o, d, aabbs, t_limit)
+        gmask = jnp.any(mask.reshape(rp // m, m, nsub), axis=1)
+        if cull_mode == "exact":
+            ids, cnt = extract_lists(gmask)
+        else:  # "argsort": the round-2/3 path, kept for A/B
+            ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
+            cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
     rf = ray_features(o, d).reshape(rp // m, m, 16)
     ids = ids.reshape(-1, 1, nsub)
     cnt = cnt.reshape(-1, 1, 1)
@@ -259,11 +290,12 @@ def _prep_mxu(o, d, aabbs, t_limit, m=128):
     return rf, ids, cnt, tl, rp, nsub
 
 
-@partial(jax.jit, static_argnames=("interpret", "bf16x3", "m"))
+@partial(jax.jit, static_argnames=("interpret", "bf16x3", "m", "cull_mode"))
 def _mxu_search(o, d, tfq, aabbs, eps, t_limit=None, interpret: bool = False,
-                bf16x3: bool = False, m: int = 128):
+                bf16x3: bool = False, m: int = 128,
+                cull_mode: str = "exact"):
     r = o.shape[0]
-    rf, ids, cnt, _, rp, nsub = _prep_mxu(o, d, aabbs, t_limit, m)
+    rf, ids, cnt, _, rp, nsub = _prep_mxu(o, d, aabbs, t_limit, m, cull_mode)
     if bf16x3:
         rf_hi, rf_lo = _split_bf16(rf)
         tf_hi, tf_lo = _split_bf16(tfq)
@@ -305,11 +337,11 @@ def _mxu_search(o, d, tfq, aabbs, eps, t_limit=None, interpret: bool = False,
     return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
 
 
-@partial(jax.jit, static_argnames=("interpret", "m"))
+@partial(jax.jit, static_argnames=("interpret", "m", "cull_mode"))
 def _mxu_occl(o, d, t_limit, tfq, aabbs, eps, interpret: bool = False,
-              m: int = 128):
+              m: int = 128, cull_mode: str = "exact"):
     r = o.shape[0]
-    rf, ids, cnt, tl, rp, nsub = _prep_mxu(o, d, aabbs, t_limit, m)
+    rf, ids, cnt, tl, rp, nsub = _prep_mxu(o, d, aabbs, t_limit, m, cull_mode)
     grid = rp // m
     out = pl.pallas_call(
         _mxu_occl_kernel,
@@ -369,8 +401,12 @@ def _segments(tris: TriangleBuffer, exclude_oversized: bool):
 
 
 def mxu_tile_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
-                    t_limit: jax.Array = None):
-    """tri_search hook (core/intersect.py contract): (best_t, orig idx)."""
+                    t_limit: jax.Array = None, coherent: bool = False):
+    """tri_search hook (core/intersect.py contract): (best_t, orig idx).
+
+    `coherent` marks a shared-origin wavefront (camera rays) — the cull
+    pre-pass then uses the interval slab test (see CULL_MODE).
+    """
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     r = o.shape[0]
@@ -384,7 +420,9 @@ def mxu_tile_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
         t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
     for tfq, aabbs, perm_k in segments:
         t_k, idx_k = _mxu_search(o, d, tfq, aabbs, eps_arr, t_limit,
-                                 interpret, bf16x3=SEARCH_BF16X3, m=RAY_TILE)
+                                 interpret, bf16x3=SEARCH_BF16X3, m=RAY_TILE,
+                                 cull_mode=_resolve_cull_mode(
+                                     coherent, aabbs.shape[1]))
         orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
         orig_k = jnp.where(idx_k >= 0, orig_k, NO_HIT)
         better = t_k < best_t  # earlier segment wins ties (first-wins)
@@ -397,13 +435,16 @@ def mxu_tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
                        tris: TriangleBuffer, eps) -> jax.Array:
     """Occlusion [R] bool: any accepted hit in (eps, t_limit)."""
     interpret = jax.default_backend() not in ("tpu", "axon")
+    # Shadow origins are per-pixel hit points (never coherent).
+    cull_mode = _resolve_cull_mode(coherent=False)
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     occluded = jnp.zeros((o.shape[0],), bool)
     segments, ov_buf, _ = _segments(tris, exclude_oversized=True)
     for tfq, aabbs, _ in segments:
         occluded |= _mxu_occl(o, d, t_limit, tfq, aabbs, eps_arr, interpret,
-                              m=RAY_TILE)
+                              m=RAY_TILE, cull_mode=cull_mode)
     return occluded | _oversized_occl(o, d, t_limit, ov_buf, eps_arr)
 
 
 mxu_tile_search.occlusion = mxu_tile_occlusion
+mxu_tile_search.supports_coherent = True

@@ -43,7 +43,11 @@ import dataclasses
 
 from esctp1raytracer_tpu.accel.clusters import build_clusters
 from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
-from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+from esctp1raytracer_tpu.kernels.hit_pallas import (
+    block_cull_mask,
+    extract_lists,
+    group_cull_mask,
+)
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
 RAY_GROUP = 128          # rays per grid step (SMEM-resident scalars)
@@ -377,18 +381,56 @@ _PREPASS_ELEMS = 192 * 1024 * 1024
 _CULL_COLS = 1024
 
 
-def _cull_lists(o, d, t_limit, aabbs):
+# Pre-pass mode (A/B override; None = auto = "argsort"). Modes:
+#   "argsort": exact per-ray slab mask + 8-ray OR-fold + stable argsort
+#       compaction — the production path.
+#   "interval": ONE conservative interval slab test per bundle + sort-free
+#       K-extraction. MEASURED NEGATIVE end-to-end (round 4, kept for the
+#       record + future shapes): winner-identical and 2.8x cheaper per
+#       pre-pass on top-of-frame bundles (4K x 100k primary sweep 256 ->
+#       226 ms), but per-bundle list lengths are heavy-tailed — bundles
+#       near the ground-plane horizon legitimately cross O(100) Morton
+#       blocks (the early cnt stats of p99=3 sampled only sky rows), the
+#       K=32 extraction overflows to its sweep-everything fallback there,
+#       and one grazing frame slice measured 655 -> 2164 ms: full-frame
+#       4.32 s vs argsort's 2.73 s (scripts/probe_cfg5_isolate.py). The
+#       hull is also origin-interval-based, so shadow/bounce wavefronts
+#       (scattered origins) explode it outright (95 -> 444 ms any-hit).
+#   "exact": per-ray mask + K-extraction — same overflow tail, same loss.
+# Net: a sort network is exactly the right tool for heavy-tailed list
+# compaction; the cheap alternatives lose where the lists matter most.
+CULL_MODE = None
+
+
+def _resolve_cull_mode(coherent: bool, nsub: int = 0) -> str:
+    if CULL_MODE is not None:
+        return CULL_MODE
+    return "argsort"
+
+
+def _cull_lists(o, d, t_limit, aabbs, cull_mode):
     """Per-bundle compacted ascending sub-block lists for one ray chunk."""
     nsub = aabbs.shape[1]
+    if cull_mode == "interval":
+        gmask = group_cull_mask(o, d, aabbs, t_limit, group=COHERENT)
+        return extract_lists(gmask)
     mask = block_cull_mask(o, d, aabbs, t_limit)
     gmask = jnp.any(mask.reshape(-1, COHERENT, nsub), axis=1)
+    if cull_mode == "exact":
+        return extract_lists(gmask)
     ids = jnp.argsort(~gmask, axis=1, stable=True).astype(jnp.int32)
     cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
     return ids, cnt
 
 
-def _prep(o, d, aabbs, t_limit):
-    """Pad rays, cull, and compact ascending per-bundle sub-block lists."""
+def _prep(o, d, aabbs, t_limit, cull_mode="exact"):
+    """Pad rays, cull, and compact ascending per-bundle sub-block lists.
+
+    `cull_mode` must reach here as a jit-static value: it is read at
+    trace time, so a runtime flag flip would otherwise silently reuse
+    the previously compiled mode (the round-4 A/B initially measured two
+    identical legs because of exactly that).
+    """
     r = o.shape[0]
     pad = (-r) % RAY_GROUP
     if pad:
@@ -417,10 +459,14 @@ def _prep(o, d, aabbs, t_limit):
             [cmin, cmax, jnp.zeros((2, nc), jnp.float32)], axis=0
         )
 
-    if rp * nc <= _PREPASS_ELEMS:
-        ids, cnt = _cull_lists(o, d, t_limit, aabbs)
+    # Interval mode's slab temps live at bundle granularity — COHERENTx
+    # fewer elements per ray — so the streaming cutoff scales with it.
+    row_scale = COHERENT if cull_mode == "interval" else 1
+    if rp * nc <= _PREPASS_ELEMS * row_scale:
+        ids, cnt = _cull_lists(o, d, t_limit, aabbs, cull_mode)
     else:
-        chunk = max(RAY_GROUP, (_PREPASS_ELEMS // nc) // RAY_GROUP * RAY_GROUP)
+        chunk = max(RAY_GROUP, (_PREPASS_ELEMS * row_scale // nc)
+                    // RAY_GROUP * RAY_GROUP)
         cpad = (-rp) % chunk
         oc, dc, tlc = o, d, t_limit
         if cpad:
@@ -436,12 +482,12 @@ def _prep(o, d, aabbs, t_limit):
         nch = (rp + cpad) // chunk
         if t_limit is None:
             ids, cnt = jax.lax.map(
-                lambda a: _cull_lists(a[0], a[1], None, aabbs),
+                lambda a: _cull_lists(a[0], a[1], None, aabbs, cull_mode),
                 (oc.reshape(nch, chunk, 3), dc.reshape(nch, chunk, 3)),
             )
         else:
             ids, cnt = jax.lax.map(
-                lambda a: _cull_lists(a[0], a[1], a[2], aabbs),
+                lambda a: _cull_lists(a[0], a[1], a[2], aabbs, cull_mode),
                 (oc.reshape(nch, chunk, 3), dc.reshape(nch, chunk, 3),
                  tlc.reshape(nch, chunk)),
             )
@@ -468,10 +514,11 @@ def _prep(o, d, aabbs, t_limit):
     return rays, ids, cnt, rp, nsub, groups_per_step
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "cull_mode"))
+def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False,
+                 cull_mode: str = "exact"):
     r = o.shape[0]
-    rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit)
+    rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit, cull_mode)
     grid = rp // RAY_GROUP
     out = pl.pallas_call(
         _tile_kernel,
@@ -507,10 +554,11 @@ def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False):
     return best_t, best_i
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _tile_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "cull_mode"))
+def _tile_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False,
+               cull_mode: str = "exact"):
     r = o.shape[0]
-    rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit)
+    rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit, cull_mode)
     grid = rp // RAY_GROUP
     out = pl.pallas_call(
         _occl_tile_kernel,
@@ -571,8 +619,12 @@ def _sliced(tris: TriangleBuffer, exclude_oversized: bool = False):
 
 
 def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
-                    t_limit: jax.Array = None):
-    """tri_search hook (core/intersect.py contract): (best_t, orig idx)."""
+                    t_limit: jax.Array = None, coherent: bool = False):
+    """tri_search hook (core/intersect.py contract): (best_t, orig idx).
+
+    `coherent` marks a shared-origin wavefront (camera rays): the cull
+    pre-pass then uses the cheap interval slab test (see CULL_MODE).
+    """
     interpret = jax.default_backend() not in ("tpu", "axon")
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
@@ -580,8 +632,9 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
         if PRIMARY_PREHIT:
             hint = _oversized_min_t(o, d, ov_buf, eps_arr)
             t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
+        cull_mode = _resolve_cull_mode(coherent, aabbs.shape[1])
         best_t, sorted_idx = _tile_search(o, d, tc, aabbs, eps_arr, t_limit,
-                                          interpret)
+                                          interpret, cull_mode)
         orig = jnp.take(perm, jnp.maximum(sorted_idx, 0))
         return best_t, jnp.where(sorted_idx >= 0, orig, NO_HIT)
 
@@ -593,7 +646,10 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
         hint = _oversized_min_t(o, d, ov_buf, eps_arr)
         t_limit = hint if t_limit is None else jnp.minimum(t_limit, hint)
     for tc, aabbs, perm_k in segments:
-        t_k, idx_k = _tile_search(o, d, tc, aabbs, eps_arr, t_limit, interpret)
+        t_k, idx_k = _tile_search(o, d, tc, aabbs, eps_arr, t_limit,
+                                  interpret,
+                                  _resolve_cull_mode(coherent,
+                                                     aabbs.shape[1]))
         orig_k = jnp.take(perm_k, jnp.maximum(idx_k, 0))
         orig_k = jnp.where(idx_k >= 0, orig_k, NO_HIT)
         better = t_k < best_t  # earlier segment wins ties (first-wins)
@@ -604,20 +660,27 @@ def tile_tri_search(o: jax.Array, d: jax.Array, tris: TriangleBuffer, eps,
 
 def tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
                    tris: TriangleBuffer, eps) -> jax.Array:
-    """Occlusion [R] bool: any accepted hit in (eps, t_limit)."""
+    """Occlusion [R] bool: any accepted hit in (eps, t_limit).
+
+    Shadow origins are per-pixel hit points (never coherent), so the
+    pre-pass always uses the exact per-ray mask.
+    """
     interpret = jax.default_backend() not in ("tpu", "axon")
+    cull_mode = _resolve_cull_mode(coherent=False)  # auto -> "argsort"
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
         tc, aabbs, _, ov_buf, _ = tri_constants_sub(
             tris, exclude_oversized=True)
-        occluded = _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret)
+        occluded = _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret,
+                              cull_mode)
     else:
         occluded = jnp.zeros((o.shape[0],), bool)
         segments, ov_buf, _ = _sliced(tris, exclude_oversized=True)
         for tc, aabbs, _ in segments:
             occluded |= _tile_occl(o, d, t_limit, tc, aabbs, eps_arr,
-                                   interpret)
+                                   interpret, cull_mode)
     return occluded | _oversized_occl(o, d, t_limit, ov_buf, eps_arr)
 
 
 tile_tri_search.occlusion = tile_occlusion
+tile_tri_search.supports_coherent = True

@@ -15,6 +15,8 @@ Usage (writes SCALING.md):
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \
     python scripts/bench_scaling.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

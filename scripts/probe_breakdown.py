@@ -4,6 +4,8 @@ Separates: cull pre-pass (XLA), primary tile sweep (kernel only),
 occlusion pre-pass+kernel, closest_hit recompute, shading glue, and the
 full forward/backward — so the next optimization targets the real cost.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np

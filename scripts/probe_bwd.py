@@ -5,6 +5,8 @@ B: grad wrt (o, d) only — no scatter-adds into primitive tables
 Both forwards are identical, so A-B isolates the table-cotangent cost
 (packed-gather VJP scatter-adds + material chains).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np

@@ -1,4 +1,6 @@
 """Config 5 (100k tris, 4K, 1/4 slice) stage breakdown: pre-pass vs sweep."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np

@@ -2,6 +2,8 @@
 
 Usage: timeout 3000 python scripts/probe_cornell.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import time

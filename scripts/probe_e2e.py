@@ -6,6 +6,8 @@ pallas-vs-mxu winner agreement on-chip.
 
 Usage: timeout 3500 python scripts/probe_e2e.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import time

@@ -4,6 +4,8 @@ Device-side timings (block_until_ready on device arrays), warm
 executables, amortized fori_loop variant matching bench.py's Cornell
 measurement. One process, one chip (see memory: axon claims).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

@@ -4,6 +4,8 @@ Measures the two BASELINE configs the depth unroll re-routes
 (ten-sphere 512^2 depth-2, mixed 1080p depth-4) with backend auto
 (-> fused) vs lane (the previous routing), plus image agreement.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -6,6 +6,8 @@ without t-limit block culling. One TPU process; compiles are cached.
 
 Usage: timeout 3500 python scripts/probe_kernel.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import time

@@ -2,6 +2,8 @@
 
 Usage: timeout 3500 python scripts/probe_lane.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import time

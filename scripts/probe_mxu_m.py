@@ -15,6 +15,8 @@ Legs per M in {32, 64, 128, 256}:
 The 128 leg always runs first (it is the agreement reference); every
 other leg asserts exact primary/occlusion winner agreement vs M=128.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 MS = tuple(int(x) for x in sys.argv[1:]) or (128, 64, 32, 256)

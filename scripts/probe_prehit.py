@@ -6,6 +6,8 @@ kernels, checks winner identity, and times the XLA oversized pre-sweep
 alone (its cost must be under the kernel-time saving for the flag to
 default on).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

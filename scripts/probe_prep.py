@@ -4,6 +4,8 @@ bench.py (the optimizer-loop shape) pays clustering + packing + cull
 pre-pass per step; with the scene closed over as a constant XLA folds
 most of it. This isolates each piece with the scene as an argument.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np

@@ -5,6 +5,8 @@ scatter-add of [R=2.07M, C] cotangent rows into [N=10752, C] tables.
 Variants measured: plain jnp.take VJP, pre-sorted indices, segment_sum,
 and a bundle-local pre-reduction (winners are spatially coherent).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import jax, jax.numpy as jnp, numpy as np

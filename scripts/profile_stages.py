@@ -10,6 +10,8 @@ kernel optimization targets the real bottleneck:
 
 Run on TPU: timeout 3000 python scripts/profile_stages.py
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

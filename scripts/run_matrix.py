@@ -9,6 +9,8 @@ golden comparison, done automatically instead of by eye).
 
 Usage: python scripts/run_matrix.py [--out DIR] [--size WxH] [--scene ...]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
 import os
