@@ -124,7 +124,8 @@ def _pack_constants(sorted_tris: TriangleBuffer, perm: jax.Array):
 
 
 def block_cull_mask(o: jax.Array, d: jax.Array, aabbs: jax.Array,
-                    t_limit: jax.Array = None) -> jax.Array:
+                    t_limit: jax.Array = None,
+                    return_entry: bool = False) -> jax.Array:
     """Slab-test rays [R, 3] against block AABBs [8, NB] -> mask [R, NB].
 
     NaN-safe: a zero direction component whose origin sits exactly on a
@@ -135,6 +136,10 @@ def block_cull_mask(o: jax.Array, d: jax.Array, aabbs: jax.Array,
     With `t_limit` [R] set (shadow/occlusion rays), blocks whose slab
     entry lies beyond the limit are culled too — the t-ceiling analogue of
     the reference's early-exit occlusion (src/main.cpp:314-329).
+
+    return_entry=True also returns the slab entry t [R, NB] (meaningful
+    only where the mask is set) — used to order occlusion block lists
+    nearest-first for the any-hit kernel's early exit.
     """
     inv = 1.0 / d  # inf on zero components is correct slab behavior
     bmin = aabbs[0:3].T  # [NB, 3]
@@ -146,6 +151,8 @@ def block_cull_mask(o: jax.Array, d: jax.Array, aabbs: jax.Array,
     reject = (tn > tf) | (tf < 0.0)
     if t_limit is not None:
         reject |= tn > t_limit[:, None]
+    if return_entry:
+        return ~reject, tn
     return ~reject
 
 

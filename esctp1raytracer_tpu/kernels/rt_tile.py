@@ -308,7 +308,23 @@ def _tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
         group_body(g)
 
 
-def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
+# Any-hit early exit (MEASURED NEGATIVE at every setting — default OFF,
+# kept for the record): with nearest-first ("entry"-ordered) block
+# lists, a bundle could stop sweeping once every ray is occluded. Value
+# = the exit check period E in blocks (0 = off): a lax.while_loop whose
+# body runs E blocks in an inner fori_loop, ONE (8,128)->scalar
+# all-occluded reduction per E blocks. probe_occl_exit r4, answer-
+# identical everywhere: E=1 cfg5 occl 319 -> 909 ms / flagship 119 ->
+# 409; chunked E=8 still 492/221, E=16 468/222 — the while_loop
+# structure itself (not the cond frequency) defeats Mosaic's dynamic-
+# trip fori pipelining. Together with round 2's closest-hit early-out
+# negative: on this hardware, data-dependent loop exits cannot beat a
+# pipelined fixed-structure sweep even at ~3x the tested pairs.
+OCCL_EARLY_EXIT = 0
+
+
+def _occl_tile_kernel(early_exit, eps_ref, rays_ref, ids_ref, cnt_ref,
+                      tc_ref, occ_ref):
     """Any-hit variant: int32 OR-fold, t < t_limit window, no index carry."""
     eps = eps_ref[0]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -352,8 +368,30 @@ def _occl_tile_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
             # on TPU (infer-vector-layout failure); keep the OR-fold in i32.
             return occ | ok.astype(jnp.int32)
 
-        occ = jax.lax.fori_loop(0, cnt_ref[0, 0, g], block_body,
-                                jnp.zeros((8, 128), jnp.int32))
+        n = cnt_ref[0, 0, g]
+        init = jnp.zeros((8, 128), jnp.int32)
+        if early_exit:
+            e = int(early_exit)
+
+            def cond(state):
+                k, occ = state
+                # done when every ray (sublane) has at least one set lane
+                all_occluded = jnp.min(jnp.max(occ, axis=1,
+                                               keepdims=True)) > 0
+                return jnp.logical_and(k < n, jnp.logical_not(all_occluded))
+
+            def body(state):
+                k, occ = state
+                # E blocks per exit check: the inner fixed/dynamic-trip
+                # fori pipelines like the plain loop; only one scalar
+                # reduction per E blocks interrupts it.
+                occ = jax.lax.fori_loop(k, jnp.minimum(k + e, n),
+                                        block_body, occ)
+                return k + e, occ
+
+            _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+        else:
+            occ = jax.lax.fori_loop(0, n, block_body, init)
         occ_ref[0, :, g:g + 1] = jnp.max(occ, axis=1, keepdims=True)
 
     for g in range(num_groups):
@@ -414,6 +452,27 @@ def _cull_lists(o, d, t_limit, aabbs, cull_mode):
     if cull_mode == "interval":
         gmask = group_cull_mask(o, d, aabbs, t_limit, group=COHERENT)
         return extract_lists(gmask)
+    if cull_mode == "entry":
+        # Nearest-first lists for the any-hit kernel's early exit: sort
+        # keys are the bundle-min slab entry t (+inf for culled blocks),
+        # so occluders closest to the shadow-ray origins are tested
+        # first. Order never changes the OR-fold result.
+        mask, tn = block_cull_mask(o, d, aabbs, t_limit, return_entry=True)
+        # A kept block with NaN entry (origin exactly on a slab plane,
+        # see block_cull_mask's NaN note) must NOT sort after the +inf
+        # culled blocks — that would push it beyond the swept cnt-prefix
+        # and drop a real occluder. NaN keys become -inf (tested first).
+        tn = jnp.where(jnp.isnan(tn), -jnp.inf, tn)
+        # Clamp kept keys finite: a kept block whose entry overflowed to
+        # +inf would otherwise interleave with the +inf culled keys and
+        # could likewise leave the cnt-prefix.
+        tn = jnp.minimum(tn, jnp.float32(3.0e38))
+        keyed = jnp.where(mask, tn, jnp.inf).reshape(-1, COHERENT, nsub)
+        gkey = jnp.min(keyed, axis=1)
+        gmask = jnp.any(mask.reshape(-1, COHERENT, nsub), axis=1)
+        ids = jnp.argsort(gkey, axis=1, stable=True).astype(jnp.int32)
+        cnt = jnp.sum(gmask, axis=1).astype(jnp.int32)
+        return ids, cnt
     mask = block_cull_mask(o, d, aabbs, t_limit)
     gmask = jnp.any(mask.reshape(-1, COHERENT, nsub), axis=1)
     if cull_mode == "exact":
@@ -554,14 +613,14 @@ def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False,
     return best_t, best_i
 
 
-@partial(jax.jit, static_argnames=("interpret", "cull_mode"))
+@partial(jax.jit, static_argnames=("interpret", "cull_mode", "early_exit"))
 def _tile_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False,
-               cull_mode: str = "exact"):
+               cull_mode: str = "argsort", early_exit: bool = False):
     r = o.shape[0]
     rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit, cull_mode)
     grid = rp // RAY_GROUP
     out = pl.pallas_call(
-        _occl_tile_kernel,
+        partial(_occl_tile_kernel, early_exit),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -666,19 +725,23 @@ def tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
     pre-pass always uses the exact per-ray mask.
     """
     interpret = jax.default_backend() not in ("tpu", "axon")
-    cull_mode = _resolve_cull_mode(coherent=False)  # auto -> "argsort"
+    early = OCCL_EARLY_EXIT
+    # Early exit wants nearest-first lists; without it keep ascending-id
+    # lists (CULL_MODE override still wins for A/B probes).
+    cull_mode = (CULL_MODE if CULL_MODE is not None
+                 else ("entry" if early else "argsort"))
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
         tc, aabbs, _, ov_buf, _ = tri_constants_sub(
             tris, exclude_oversized=True)
         occluded = _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret,
-                              cull_mode)
+                              cull_mode, early)
     else:
         occluded = jnp.zeros((o.shape[0],), bool)
         segments, ov_buf, _ = _sliced(tris, exclude_oversized=True)
         for tc, aabbs, _ in segments:
             occluded |= _tile_occl(o, d, t_limit, tc, aabbs, eps_arr,
-                                   interpret, cull_mode)
+                                   interpret, cull_mode, early)
     return occluded | _oversized_occl(o, d, t_limit, ov_buf, eps_arr)
 
 

@@ -130,6 +130,29 @@ class TestModeParity:
             rt_mxu.CULL_MODE = old
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    @pytest.mark.parametrize("period", [1, 8])
+    def test_occl_early_exit_parity(self, mesh, period):
+        """OCCL_EARLY_EXIT (entry-ordered lists + chunked while_loop) is
+        answer-identical to the production fori sweep — kept off by
+        default as a measured on-chip negative (ROOFLINE r4), so the
+        parity guard is what keeps the machinery honest."""
+        rng = np.random.default_rng(3)
+        o = jnp.asarray(rng.uniform(-2, 2, (128, 3)).astype(np.float32))
+        d = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        tl = jnp.asarray(np.where(rng.random(128) < 0.2, -1.0,
+                                  rng.uniform(0.5, 6.0, 128)
+                                  ).astype(np.float32))
+        old = rt_tile.OCCL_EARLY_EXIT
+        try:
+            rt_tile.OCCL_EARLY_EXIT = 0
+            ref = rt_tile.tile_occlusion(o, d, tl, mesh.triangles, EPS)
+            rt_tile.OCCL_EARLY_EXIT = period
+            got = rt_tile.tile_occlusion(o, d, tl, mesh.triangles, EPS)
+        finally:
+            rt_tile.OCCL_EARLY_EXIT = old
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
     def test_auto_resolution(self):
         # auto = argsort everywhere: the interval/extraction pre-pass is
         # a measured end-to-end negative (heavy-tailed list lengths; see
