@@ -440,15 +440,118 @@ _CULL_COLS = 1024
 CULL_MODE = None
 
 
+# Two-level ("hier") pre-pass knobs: sub-blocks are grouped into
+# superblocks of HIER_GROUP adjacent (Morton-ordered) sub-blocks; the
+# per-ray slab test runs on the NSUB/HIER_GROUP superblock boxes first,
+# then exactly on the HIER_K kept superblocks' sub-boxes (gathered per
+# bundle). Bundles keeping more than HIER_K superblocks fall back to the
+# dense iota list (sweep every block — conservative-correct; the heavy
+# tail that killed the K-extraction mode needed O(100) SUB-blocks, i.e.
+# ~13 superblocks, well under HIER_K=32's 256-sub-block budget). Only
+# pays when the dense [rays, NSUB] mask is wide; below HIER_MIN_NSUB the
+# flat argsort mode stays.
+HIER_GROUP = 8
+HIER_K = 32
+HIER_MIN_NSUB = 256
+
+
 def _resolve_cull_mode(coherent: bool, nsub: int = 0) -> str:
     if CULL_MODE is not None:
         return CULL_MODE
+    if nsub >= HIER_MIN_NSUB and nsub > HIER_K * HIER_GROUP:
+        return "hier"
     return "argsort"
+
+
+def _hier_cull_lists(o, d, t_limit, aabbs):
+    """Exact two-level per-bundle lists: identical (prefix, cnt) to the
+    flat argsort mode except (a) overflow bundles (> HIER_K superblocks
+    kept), which get the dense iota list (sweep everything — same
+    winners, the kernel re-tests every triangle; ascending visit order
+    preserved, so the first-wins tie rule holds), and (b) fully-empty
+    sub-blocks inside a rejected superblock: the flat slab test KEEPS
+    inverted empty boxes, the hierarchy drops them with their superblock
+    — they contain no valid triangles, so sweeping them was a no-op.
+
+    Exactness argument: a sub-box is contained in its superblock box, so
+    a ray strictly missing the superblock (slab reject, behind-origin
+    reject, or t-ceiling reject — the coarse entry t is a lower bound on
+    the fine entry t) misses every sub-box too; NaN lanes (origin exactly
+    on a slab plane x zero direction) fall through comparisons to "keep"
+    at BOTH levels, so the conservative direction is preserved.
+    """
+    nsub = aabbs.shape[1]
+    g = HIER_GROUP
+    pad = (-nsub) % g
+    if pad:
+        big = jnp.float32(1e30)
+        filler = jnp.concatenate([
+            jnp.full((3, pad), big), jnp.full((3, pad), -big),
+            jnp.zeros((2, pad), jnp.float32)])
+        aabbs_p = jnp.concatenate([aabbs, filler], axis=1)
+    else:
+        aabbs_p = aabbs
+    ns = (nsub + pad) // g
+    k = min(HIER_K, ns)
+    # Superblock union boxes [8, ns]; inverted empty sentinels stay
+    # inverted (min of +big mins / max of -big maxes).
+    smin = jnp.min(aabbs_p[0:3].reshape(3, ns, g), axis=2)
+    smax = jnp.max(aabbs_p[3:6].reshape(3, ns, g), axis=2)
+    saabbs = jnp.concatenate([smin, smax, jnp.zeros((2, ns), jnp.float32)])
+
+    # Coarse: exact per-ray slab test at superblock granularity + OR-fold.
+    cm = block_cull_mask(o, d, saabbs, t_limit)
+    gs = jnp.any(cm.reshape(-1, COHERENT, ns), axis=1)  # [B, ns]
+    cnt_s = jnp.sum(gs, axis=1).astype(jnp.int32)
+    sids = jnp.argsort(~gs, axis=1, stable=True)[:, :k].astype(jnp.int32)
+    over = cnt_s > k
+
+    # Fine: exact per-ray slab test on each bundle's gathered sub-boxes.
+    # sids' kept prefix is ascending and sub-ids within a superblock are
+    # ascending, so kept fine columns are globally ascending; padding
+    # columns (culled superblocks) can only fail the fine test.
+    sub_ids = (sids[:, :, None] * g
+               + jnp.arange(g, dtype=jnp.int32)[None, None, :]
+               ).reshape(-1, k * g)                      # [B, k*g]
+    nb = sub_ids.shape[0]
+    fmin = jnp.moveaxis(aabbs_p[0:3, sub_ids], 0, -1)    # [B, k*g, 3]
+    fmax = jnp.moveaxis(aabbs_p[3:6, sub_ids], 0, -1)
+    ob = o.reshape(nb, COHERENT, 3)
+    inv = 1.0 / d.reshape(nb, COHERENT, 3)
+    t0 = (fmin[:, None] - ob[:, :, None]) * inv[:, :, None]
+    t1 = (fmax[:, None] - ob[:, :, None]) * inv[:, :, None]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)           # [B, 8, k*g]
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    reject = (tn > tf) | (tf < 0.0)
+    if t_limit is not None:
+        reject |= tn > t_limit.reshape(nb, COHERENT)[:, :, None]
+    fm = jnp.any(~reject, axis=1)                        # [B, k*g]
+    # The slab test KEEPS inverted boxes (near=-huge, far=+huge), so the
+    # nsub-padding filler sub-blocks must be masked out explicitly or
+    # their out-of-range ids would enter the kept prefix.
+    fm = fm & (sub_ids < nsub)
+    cnt = jnp.sum(fm, axis=1).astype(jnp.int32)
+    order = jnp.argsort(~fm, axis=1, stable=True)
+    ids_k = jnp.take_along_axis(sub_ids, order, axis=1)  # kept prefix asc
+
+    # Widen to the kernel's [B, nsub] list buffer (tail never read) and
+    # apply the overflow fallback.
+    iota = jnp.arange(nsub, dtype=jnp.int32)
+    if nsub > k * g:
+        tail = jnp.broadcast_to(iota[None, k * g:], (nb, nsub - k * g))
+        ids = jnp.concatenate([ids_k, tail], axis=1)
+    else:
+        ids = ids_k[:, :nsub]
+    ids = jnp.where(over[:, None], iota[None, :], ids)
+    cnt = jnp.where(over, jnp.int32(nsub), cnt)
+    return ids, cnt
 
 
 def _cull_lists(o, d, t_limit, aabbs, cull_mode):
     """Per-bundle compacted ascending sub-block lists for one ray chunk."""
     nsub = aabbs.shape[1]
+    if cull_mode == "hier":
+        return _hier_cull_lists(o, d, t_limit, aabbs)
     if cull_mode == "interval":
         gmask = group_cull_mask(o, d, aabbs, t_limit, group=COHERENT)
         return extract_lists(gmask)
@@ -726,22 +829,28 @@ def tile_occlusion(o: jax.Array, d: jax.Array, t_limit: jax.Array,
     """
     interpret = jax.default_backend() not in ("tpu", "axon")
     early = OCCL_EARLY_EXIT
-    # Early exit wants nearest-first lists; without it keep ascending-id
-    # lists (CULL_MODE override still wins for A/B probes).
-    cull_mode = (CULL_MODE if CULL_MODE is not None
-                 else ("entry" if early else "argsort"))
+
+    def occl_mode(nsub):
+        # Early exit wants nearest-first lists; without it the size-gated
+        # ascending-id resolution applies (CULL_MODE override still wins
+        # for A/B probes).
+        if CULL_MODE is not None:
+            return CULL_MODE
+        return "entry" if early else _resolve_cull_mode(False, nsub)
+
     eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
     if tris.capacity <= TILE_TRI_LIMIT:
         tc, aabbs, _, ov_buf, _ = tri_constants_sub(
             tris, exclude_oversized=True)
         occluded = _tile_occl(o, d, t_limit, tc, aabbs, eps_arr, interpret,
-                              cull_mode, early)
+                              occl_mode(aabbs.shape[1]), early)
     else:
         occluded = jnp.zeros((o.shape[0],), bool)
         segments, ov_buf, _ = _sliced(tris, exclude_oversized=True)
         for tc, aabbs, _ in segments:
             occluded |= _tile_occl(o, d, t_limit, tc, aabbs, eps_arr,
-                                   interpret, cull_mode, early)
+                                   interpret, occl_mode(aabbs.shape[1]),
+                                   early)
     return occluded | _oversized_occl(o, d, t_limit, ov_buf, eps_arr)
 
 

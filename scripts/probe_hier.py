@@ -1,0 +1,114 @@
+"""On-chip A/B: two-level ("hier") cull pre-pass vs flat argsort.
+
+The 4K x 100k frame (BASELINE config 5) is pre-pass-bound: per 2M-ray
+quarter the flat pre-pass costs ~152 ms (per-ray slab test on all 784
+sub-block columns + 8-ray OR-fold + 784-column argsort) against ~105 ms
+of kernel sweep. The hier mode (rt_tile._hier_cull_lists) slab-tests 98
+superblock columns per ray, gathers the <=HIER_K kept superblocks'
+sub-boxes per bundle, re-tests those exactly, and argsorts HIER_K*8
+columns — same kept-prefix lists, ~2.7x fewer tested columns. Unlike
+the measured-negative "interval"/"exact" modes it keeps per-ray
+exactness and sort-based compaction, so the heavy-tailed horizon
+bundles stay exact (overflow needs >HIER_K superblocks, a 256-sub-block
+budget vs the K-extraction's 32).
+
+Legs: cfg5 quarter search / occlusion / e2e, cfg5 FULL-frame e2e, and
+flagship e2e (nsub=84 — gate must leave it on argsort, zero delta).
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+from esctp1raytracer_tpu import Camera, RenderConfig
+from esctp1raytracer_tpu.core.intersect import BIG
+from esctp1raytracer_tpu.core.render import trace_rays
+from esctp1raytracer_tpu.kernels import rt_mxu, rt_tile
+from esctp1raytracer_tpu.kernels.rt_tile import tile_occlusion, tile_tri_search
+from esctp1raytracer_tpu.scene import builders
+
+EPS = jnp.float32(np.finfo(np.float32).eps)
+
+
+def timed(label, fn, *args, iters=2, batches=2):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.time()
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        best = min(best, (time.time() - t0) / iters)
+    print(f"{label:56s} {best*1e3:9.1f} ms", flush=True)
+    return best, out
+
+
+sc = builders.random_scene(100_000)
+cam = Camera.look_at((0, 18, 45), (0, 1, 0), vfov=60.0, aspect=3840/2160)
+o, d = cam.ray_grid(3840, 2160)
+o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+q = o.shape[0] // 4
+o1, d1 = jax.block_until_ready(o[:q]), d[:q]
+ids1 = jnp.arange(q, dtype=jnp.uint32)
+ids_full = jnp.arange(o.shape[0], dtype=jnp.uint32)
+cfg = RenderConfig(backend="tile", ray_chunk=0, depth=1)
+
+winners = {}
+for mode in ("argsort", None):
+    rt_tile.CULL_MODE = mode
+    rt_mxu.CULL_MODE = mode
+    tag = mode or "auto(hier)"
+    s_none = jax.jit(lambda oo, dd: tile_tri_search(oo, dd, sc.triangles,
+                                                    EPS, coherent=True))
+    _, (t1, p1) = timed(f"[{tag}] cfg5 1/4 primary search", s_none, o1, d1)
+    winners[tag] = (np.asarray(t1), np.asarray(p1))
+    # real shadow wavefront occlusion
+    hp = (np.asarray(o1) + np.asarray(d1)
+          * (np.asarray(t1)[:, None] - 1e-4)).astype(np.float32)
+    lp = np.array([0.0, 30.0, 0.0], np.float32)
+    sd = lp[None] - hp
+    dist = np.linalg.norm(sd, axis=1, keepdims=True)
+    sd = (sd / np.maximum(dist, 1e-9)).astype(np.float32)
+    tl = np.where(np.asarray(p1) >= 0, dist[:, 0] - 1e-3, -1.0
+                  ).astype(np.float32)
+    so, sdir, stl = jnp.asarray(hp), jnp.asarray(sd), jnp.asarray(tl)
+    occ = jax.jit(lambda: tile_occlusion(so, sdir, stl, sc.triangles, EPS))
+    _, om = timed(f"[{tag}] cfg5 1/4 occlusion shadow wavefront", occ)
+    winners[tag + "/occ"] = np.asarray(om)
+    e2e = jax.jit(lambda oo, dd, ii: jnp.sum(
+        trace_rays(oo, dd, sc, ii, cfg) ** 2))
+    timed(f"[{tag}] cfg5 1/4 e2e", e2e, o1, d1, ids1)
+    full = jax.jit(lambda: jnp.sum(trace_rays(o, d, sc, ids_full, cfg) ** 2))
+    timed(f"[{tag}] cfg5 FULL frame e2e", full, iters=1)
+
+ta, pa = winners["argsort"]
+th, ph = winners["auto(hier)"]
+print(f"primary winner agree {(pa == ph).mean():.6f} "
+      f"t max|diff| {np.abs(ta - th).max():.1e}", flush=True)
+print(f"occlusion agree "
+      f"{(winners['argsort/occ'] == winners['auto(hier)/occ']).mean():.6f}",
+      flush=True)
+
+# Flagship neutrality: nsub=84 < HIER_MIN_NSUB, auto must stay argsort.
+fl = builders.scene_from_mesh([
+    builders.icosphere_mesh(subdivisions=4, radius=1.0, center=(-1.3, 1.0, 0.0)),
+    builders.icosphere_mesh(subdivisions=4, radius=1.0, center=(1.3, 1.0, 0.0),
+                            smooth=False),
+    builders._ground_plane(),
+    builders._area_light(center=(0.0, 6.0, 2.0), half=1.5),
+])
+fcam = Camera.look_at((0.0, 2.0, 6.0), (0.0, 1.0, 0.0), vfov=60.0,
+                      aspect=1920 / 1080)
+fo, fd = fcam.ray_grid(1920, 1080)
+fo, fd = fo.reshape(-1, 3), fd.reshape(-1, 3)
+fids = jnp.arange(fo.shape[0], dtype=jnp.uint32)
+fcfg = RenderConfig(backend="tile", ray_chunk=0, depth=1)
+for mode in ("argsort", None):
+    rt_tile.CULL_MODE = mode
+    fe2e = jax.jit(lambda: jnp.sum(trace_rays(fo, fd, fl, fids, fcfg) ** 2))
+    timed(f"[{mode or 'auto'}] flagship e2e tile", fe2e)
+rt_tile.CULL_MODE = None
+rt_mxu.CULL_MODE = None

@@ -99,8 +99,90 @@ class TestExtractLists:
         np.testing.assert_array_equal(np.asarray(ids)[:, 0], np.arange(4))
 
 
+class TestHierLists:
+    """Two-level pre-pass (rt_tile._hier_cull_lists): exact kept-prefix
+    equality with the flat argsort mode (up to empty-sub-block drops and
+    the overflow fallback, both conservative-correct)."""
+
+    def _check_prefix(self, o, d, tl, aabbs):
+        nsub = aabbs.shape[1]
+        ids_a, cnt_a = rt_tile._cull_lists(o, d, tl, aabbs, "argsort")
+        ids_h, cnt_h = rt_tile._cull_lists(o, d, tl, aabbs, "hier")
+        ca, ch = np.asarray(cnt_a), np.asarray(cnt_h)
+        ia, ih = np.asarray(ids_a), np.asarray(ids_h)
+        for r in range(len(ca)):
+            if ch[r] == nsub and ca[r] != nsub:  # overflow fallback
+                np.testing.assert_array_equal(ih[r], np.arange(nsub))
+            else:
+                assert ca[r] == ch[r]
+                np.testing.assert_array_equal(ia[r, :ca[r]], ih[r, :ca[r]])
+
+    def test_lists_match_argsort(self, mesh, rays):
+        o, d = rays
+        from esctp1raytracer_tpu.kernels.rt_tile import tri_constants_sub
+        _, aabbs, *_ = tri_constants_sub(mesh.triangles)
+        self._check_prefix(o, d, None, aabbs)
+
+    def test_lists_match_argsort_t_limit(self, mesh, rays):
+        o, d = rays
+        from esctp1raytracer_tpu.kernels.rt_tile import tri_constants_sub
+        _, aabbs, *_ = tri_constants_sub(mesh.triangles)
+        tl = jnp.where(jnp.arange(o.shape[0]) % 3 == 0, -1.0, 4.0
+                       ).astype(jnp.float32)
+        self._check_prefix(o, d, tl, aabbs)
+
+    def test_scattered_origins(self, mesh):
+        rng = np.random.default_rng(7)
+        o = jnp.asarray(rng.uniform(-3, 3, (64, 3)).astype(np.float32))
+        d = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+        d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+        from esctp1raytracer_tpu.kernels.rt_tile import tri_constants_sub
+        _, aabbs, *_ = tri_constants_sub(mesh.triangles)
+        self._check_prefix(o, d, None, aabbs)
+
+    def test_overflow_falls_back_dense(self, mesh, rays):
+        """> HIER_K kept superblocks -> dense iota list, cnt = nsub."""
+        o, d = rays
+        from esctp1raytracer_tpu.kernels.rt_tile import tri_constants_sub
+        _, aabbs, *_ = tri_constants_sub(mesh.triangles)
+        nsub = aabbs.shape[1]
+        old = rt_tile.HIER_K
+        try:
+            rt_tile.HIER_K = 1  # every multi-superblock bundle overflows
+            ids, cnt = rt_tile._cull_lists(o, d, None, aabbs, "hier")
+        finally:
+            rt_tile.HIER_K = old
+        ids_a, cnt_a = rt_tile._cull_lists(o, d, None, aabbs, "argsort")
+        over = np.asarray(cnt) == nsub
+        assert over.any(), "fixture never overflowed — HIER_K=1 too big?"
+        for r in np.nonzero(over)[0]:
+            np.testing.assert_array_equal(np.asarray(ids)[r],
+                                          np.arange(nsub))
+        # non-overflow rows still match argsort exactly
+        ca = np.asarray(cnt_a)
+        for r in np.nonzero(~over)[0]:
+            assert np.asarray(cnt)[r] == ca[r]
+
+    def test_nsub_not_multiple_of_group(self):
+        """nsub % HIER_GROUP != 0: filler sub-ids must never be listed."""
+        sc = builders.mesh_scene(4)  # 5120+2+2 tris -> nsub=41
+        from esctp1raytracer_tpu.kernels.rt_tile import tri_constants_sub
+        _, aabbs, *_ = tri_constants_sub(sc.triangles)
+        assert aabbs.shape[1] % rt_tile.HIER_GROUP != 0
+        cam = Camera.look_at((0, 2, 6), (0, 1, 0), vfov=60.0, aspect=1.0)
+        o, d = cam.ray_grid(16, 16)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        ids, cnt = rt_tile._cull_lists(o, d, None, aabbs, "hier")
+        nsub = aabbs.shape[1]
+        idn, cn = np.asarray(ids), np.asarray(cnt)
+        for r in range(len(cn)):
+            assert (idn[r, :cn[r]] < nsub).all()
+        self_check = TestHierLists._check_prefix
+        self_check(self, o, d, None, aabbs)
+
+
 class TestModeParity:
-    @pytest.mark.parametrize("mode", ["exact", "interval"])
+    @pytest.mark.parametrize("mode", ["exact", "interval", "hier"])
     def test_tile_winner_parity(self, mesh, rays, mode):
         o, d = rays
         old = rt_tile.CULL_MODE
@@ -154,11 +236,18 @@ class TestModeParity:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_auto_resolution(self):
-        # auto = argsort everywhere: the interval/extraction pre-pass is
-        # a measured end-to-end negative (heavy-tailed list lengths; see
-        # rt_tile.CULL_MODE). The override keeps the modes selectable.
-        assert rt_tile._resolve_cull_mode(True, 784) == "argsort"
-        assert rt_tile._resolve_cull_mode(False, 784) == "argsort"
+        # auto: flat argsort below HIER_MIN_NSUB (the interval/extraction
+        # pre-pass stays a measured end-to-end negative — heavy-tailed
+        # list lengths, see rt_tile.CULL_MODE), the exact two-level
+        # "hier" pre-pass on wide tables (rt_tile.HIER_MIN_NSUB). The
+        # override keeps every mode selectable for A/B probes.
+        assert rt_tile._resolve_cull_mode(True, 784) == "hier"
+        assert rt_tile._resolve_cull_mode(False, 784) == "hier"
+        assert rt_tile._resolve_cull_mode(True, 84) == "argsort"
+        assert rt_tile._resolve_cull_mode(False, 255) == "argsort"
+        # at exactly HIER_K*HIER_GROUP columns the fine level is as wide
+        # as the flat mask — stays argsort
+        assert rt_tile._resolve_cull_mode(False, 256) == "argsort"
         assert rt_mxu._resolve_cull_mode(True, 256) == "argsort"
         old = rt_tile.CULL_MODE
         try:
