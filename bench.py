@@ -111,6 +111,29 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+# Persistent-cache effectiveness tracking (VERDICT r4 #5: 232.6 s of
+# setup+compile went undiagnosed). Hits = cache-retrieval duration
+# events; misses = new entries written to the cache dir during the run.
+_CACHE_HITS = [0]
+
+
+def _cache_listener(event, duration, **kw):
+    if event == "/jax/compilation_cache/cache_retrieval_time_sec":
+        _CACHE_HITS[0] += 1
+
+
+try:  # pragma: no cover - monitoring API presence varies by jax version
+    jax.monitoring.register_event_duration_secs_listener(_cache_listener)
+except Exception:
+    pass
+
+
+def _cache_entries() -> int:
+    try:
+        return len(os.listdir(os.environ["JAX_COMPILATION_CACHE_DIR"]))
+    except OSError:
+        return 0
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
@@ -162,6 +185,7 @@ def build_scene():
 
 def main():
     t_setup = time.time()
+    entries_before = _cache_entries()
     scene = build_scene()
     cam = Camera.look_at((0.0, 2.0, 6.0), (0.0, 1.0, 0.0), vfov=60.0,
                          aspect=WIDTH / HEIGHT)
@@ -198,8 +222,12 @@ def main():
     backend, (fwd_bwd, fwd_only, cfg) = compile_with_fallback(
         [backend] + [b for b in ("tile", "lane", "jnp") if b != backend],
         make_fns)
+    setup_compile_s = time.time() - t_setup
     print(f"headline backend: {backend}", file=sys.stderr)
-    print(f"setup+compile: {time.time()-t_setup:.1f}s", file=sys.stderr)
+    print(f"setup+compile: {setup_compile_s:.1f}s "
+          f"(persistent-cache hits so far: {_CACHE_HITS[0]}, "
+          f"new entries: {_cache_entries() - entries_before})",
+          file=sys.stderr)
 
     def time_it(fn, *args, iters=5, batches=3):
         # Best batch of several: a single axon-tunnel dispatch hiccup
@@ -292,6 +320,9 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
         "backend": backend,
+        "setup_compile_s": round(setup_compile_s, 1),
+        "cache_hits": _CACHE_HITS[0],
+        "cache_new_entries": _cache_entries() - entries_before,
     }))
 
 

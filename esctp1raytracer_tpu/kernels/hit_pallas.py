@@ -49,6 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from esctp1raytracer_tpu.accel.clusters import build_clusters
 from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
+from esctp1raytracer_tpu.utils.tracejit import trace_aware
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
 RAY_GROUP = 128          # rays per grid step (SMEM-resident scalars)
@@ -370,7 +371,7 @@ def _hit_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, t_ref, idx_ref):
         group_body(g)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@trace_aware(static_argnames=("interpret",))
 def _pallas_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False):
     r = o.shape[0]
     pad = (-r) % RAY_GROUP
@@ -561,7 +562,7 @@ def _occl_kernel(eps_ref, rays_ref, ids_ref, cnt_ref, tc_ref, occ_ref):
         group_body(g)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@trace_aware(static_argnames=("interpret",))
 def _pallas_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False):
     r = o.shape[0]
     pad = (-r) % RAY_GROUP

@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
+from esctp1raytracer_tpu.utils.tracejit import trace_aware
 from esctp1raytracer_tpu.scene.types import TriangleBuffer
 
 RAYS_PER_STEP = 1024  # one (8, 128) tile of rays per grid step
@@ -119,7 +120,7 @@ def _lane_kernel(eps_ref, n_ref, tcs_ref, rays_ref, t_ref, idx_ref):
     idx_ref[0] = bi
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@trace_aware(static_argnames=("interpret",))
 def _lane_search(o, d, tcs, n_tris, eps, interpret: bool = False):
     r = o.shape[0]
     pad = (-r) % RAYS_PER_STEP

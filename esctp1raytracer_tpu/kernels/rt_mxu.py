@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 from esctp1raytracer_tpu.core.intersect import (
     BIG, NO_HIT, ray_features, tri_features,
 )
+from esctp1raytracer_tpu.utils.tracejit import trace_aware
 from esctp1raytracer_tpu.kernels.hit_pallas import (
     block_cull_mask,
     extract_lists,
@@ -290,7 +291,7 @@ def _prep_mxu(o, d, aabbs, t_limit, m=128, cull_mode="exact"):
     return rf, ids, cnt, tl, rp, nsub
 
 
-@partial(jax.jit, static_argnames=("interpret", "bf16x3", "m", "cull_mode"))
+@trace_aware(static_argnames=("interpret", "bf16x3", "m", "cull_mode"))
 def _mxu_search(o, d, tfq, aabbs, eps, t_limit=None, interpret: bool = False,
                 bf16x3: bool = False, m: int = 128,
                 cull_mode: str = "exact"):
@@ -337,7 +338,7 @@ def _mxu_search(o, d, tfq, aabbs, eps, t_limit=None, interpret: bool = False,
     return out[0].reshape(-1)[:r], out[1].reshape(-1)[:r]
 
 
-@partial(jax.jit, static_argnames=("interpret", "m", "cull_mode"))
+@trace_aware(static_argnames=("interpret", "m", "cull_mode"))
 def _mxu_occl(o, d, t_limit, tfq, aabbs, eps, interpret: bool = False,
               m: int = 128, cull_mode: str = "exact"):
     r = o.shape[0]

@@ -43,6 +43,7 @@ import dataclasses
 
 from esctp1raytracer_tpu.accel.clusters import build_clusters
 from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
+from esctp1raytracer_tpu.utils.tracejit import trace_aware
 from esctp1raytracer_tpu.kernels.hit_pallas import (
     block_cull_mask,
     extract_lists,
@@ -445,11 +446,18 @@ CULL_MODE = None
 # per-ray slab test runs on the NSUB/HIER_GROUP superblock boxes first,
 # then exactly on the HIER_K kept superblocks' sub-boxes (gathered per
 # bundle). Bundles keeping more than HIER_K superblocks fall back to the
-# dense iota list (sweep every block — conservative-correct; the heavy
-# tail that killed the K-extraction mode needed O(100) SUB-blocks, i.e.
-# ~13 superblocks, well under HIER_K=32's 256-sub-block budget). Only
-# pays when the dense [rays, NSUB] mask is wide; below HIER_MIN_NSUB the
-# flat argsort mode stays.
+# dense iota list (sweep every block — conservative-correct).
+# MEASURED NEGATIVE on-chip (round 5, scripts/probe_hier.py with
+# nudge+readback timing): on the BASELINE config-5 scene (100k tris,
+# nsub=784) the quarter-frame legs are argsort 584/410/719 ms
+# (search/occl/e2e) vs hier 3690/3505/7431 ms — ~6x SLOWER. The
+# superblock gather + per-bundle fine re-test costs far more than the
+# dense-mask width it saves at this scale, so auto stays "argsort"
+# everywhere; "hier" remains an explicit CULL_MODE override for probes
+# and possible much-wider tables. (Getting this number also flushed out
+# two real on-chip bugs in the hier path, both fixed and regression-
+# guarded: a [B,8,256,3]-layout padding OOM and a bool-gather
+# miscompile inside lax.map — see _hier_cull_lists.)
 HIER_GROUP = 8
 HIER_K = 32
 HIER_MIN_NSUB = 256
@@ -458,8 +466,6 @@ HIER_MIN_NSUB = 256
 def _resolve_cull_mode(coherent: bool, nsub: int = 0) -> str:
     if CULL_MODE is not None:
         return CULL_MODE
-    if nsub >= HIER_MIN_NSUB and nsub > HIER_K * HIER_GROUP:
-        return "hier"
     return "argsort"
 
 
@@ -468,10 +474,14 @@ def _hier_cull_lists(o, d, t_limit, aabbs):
     flat argsort mode except (a) overflow bundles (> HIER_K superblocks
     kept), which get the dense iota list (sweep everything — same
     winners, the kernel re-tests every triangle; ascending visit order
-    preserved, so the first-wins tie rule holds), and (b) fully-empty
-    sub-blocks inside a rejected superblock: the flat slab test KEEPS
-    inverted empty boxes, the hierarchy drops them with their superblock
-    — they contain no valid triangles, so sweeping them was a no-op.
+    preserved, so the first-wins tie rule holds), and (b) ALL fully
+    empty (inverted-sentinel) sub-blocks: the flat slab test KEEPS
+    inverted boxes, the hierarchy masks them explicitly at BOTH levels —
+    empty superblocks never consume HIER_K budget or trigger the
+    overflow fallback (padding-heavy sliced-scene tails produce many),
+    and empty fine columns never enter the kept prefix regardless of
+    which sids slot they landed in. They contain no valid triangles, so
+    sweeping them was a no-op; winners are unaffected.
 
     Exactness argument: a sub-box is contained in its superblock box, so
     a ray strictly missing the superblock (slab reject, behind-origin
@@ -500,8 +510,12 @@ def _hier_cull_lists(o, d, t_limit, aabbs):
     saabbs = jnp.concatenate([smin, smax, jnp.zeros((2, ns), jnp.float32)])
 
     # Coarse: exact per-ray slab test at superblock granularity + OR-fold.
+    # All-empty superblocks (inverted union box: every member sub-block
+    # is a padding sentinel) always pass the slab test; mask them so they
+    # neither consume HIER_K budget nor force the overflow fallback.
+    sempty = jnp.any(smin > smax, axis=0)               # [ns]
     cm = block_cull_mask(o, d, saabbs, t_limit)
-    gs = jnp.any(cm.reshape(-1, COHERENT, ns), axis=1)  # [B, ns]
+    gs = jnp.any(cm.reshape(-1, COHERENT, ns), axis=1) & ~sempty[None]
     cnt_s = jnp.sum(gs, axis=1).astype(jnp.int32)
     sids = jnp.argsort(~gs, axis=1, stable=True)[:, :k].astype(jnp.int32)
     over = cnt_s > k
@@ -514,22 +528,48 @@ def _hier_cull_lists(o, d, t_limit, aabbs):
                + jnp.arange(g, dtype=jnp.int32)[None, None, :]
                ).reshape(-1, k * g)                      # [B, k*g]
     nb = sub_ids.shape[0]
-    fmin = jnp.moveaxis(aabbs_p[0:3, sub_ids], 0, -1)    # [B, k*g, 3]
-    fmax = jnp.moveaxis(aabbs_p[3:6, sub_ids], 0, -1)
+    # Per-axis accumulation keeps every intermediate at [B, 8, k*g]
+    # (minor dim k*g = lane-aligned) or [B, k*g]. The vectorized
+    # [B, 8, k*g, 3] form OOMed on-chip: XLA pads the minor dim 3 to
+    # the 128-lane register width, a 42x expansion that blew a 532 MB
+    # unpadded working set to a 24 GB padded HLO-temp demand at 524k
+    # rays (measured round 5) — the fault behind the round-4 default.
     ob = o.reshape(nb, COHERENT, 3)
-    inv = 1.0 / d.reshape(nb, COHERENT, 3)
-    t0 = (fmin[:, None] - ob[:, :, None]) * inv[:, :, None]
-    t1 = (fmax[:, None] - ob[:, :, None]) * inv[:, :, None]
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)           # [B, 8, k*g]
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    invd = 1.0 / d.reshape(nb, COHERENT, 3)
+    tn = jnp.full((nb, COHERENT, k * g), -jnp.inf, jnp.float32)
+    tf = jnp.full((nb, COHERENT, k * g), jnp.inf, jnp.float32)
+    femp = jnp.zeros((nb, k * g), bool)
+    fmin_all = aabbs_p[0:3]
+    fmax_all = aabbs_p[3:6]
+    for a in range(3):
+        fmin_a = fmin_all[a][sub_ids]                    # [B, k*g]
+        fmax_a = fmax_all[a][sub_ids]
+        # Fully-empty sub-blocks (inverted sentinels) accumulate here,
+        # from the SAME f32 gathers the slab test uses. Do NOT replace
+        # this with a gather of a precomputed bool column mask
+        # (empty_col[sub_ids]): that bool gather miscompiled on XLA:TPU
+        # when the aabbs producer was constant-folded in-graph and the
+        # pre-pass ran inside a lax.map chunk — it returned all-True and
+        # zeroed every cull list (round 5, scripts/probe_hier_min.py;
+        # same i1-lowering bug family as the round-3 Mosaic carry).
+        femp = femp | (fmin_a > fmax_a)
+        oa = ob[:, :, a][:, :, None]                     # [B, 8, 1]
+        ia = invd[:, :, a][:, :, None]
+        t0a = (fmin_a[:, None, :] - oa) * ia             # [B, 8, k*g]
+        t1a = (fmax_a[:, None, :] - oa) * ia
+        tn = jnp.maximum(tn, jnp.minimum(t0a, t1a))
+        tf = jnp.minimum(tf, jnp.maximum(t0a, t1a))
     reject = (tn > tf) | (tf < 0.0)
     if t_limit is not None:
         reject |= tn > t_limit.reshape(nb, COHERENT)[:, :, None]
     fm = jnp.any(~reject, axis=1)                        # [B, k*g]
     # The slab test KEEPS inverted boxes (near=-huge, far=+huge), so the
     # nsub-padding filler sub-blocks must be masked out explicitly or
-    # their out-of-range ids would enter the kept prefix.
-    fm = fm & (sub_ids < nsub)
+    # their out-of-range ids would enter the kept prefix — and real but
+    # fully-empty sub-blocks (inverted sentinels from scene padding)
+    # must be masked symmetrically, else only the ones that happened to
+    # land in a kept bundle's sids slots would survive.
+    fm = fm & (sub_ids < nsub) & ~femp
     cnt = jnp.sum(fm, axis=1).astype(jnp.int32)
     order = jnp.argsort(~fm, axis=1, stable=True)
     ids_k = jnp.take_along_axis(sub_ids, order, axis=1)  # kept prefix asc
@@ -655,6 +695,14 @@ def _prep(o, d, aabbs, t_limit, cull_mode="exact"):
             )
         ids = ids.reshape(-1, nc)[: rp // COHERENT]
         cnt = cnt.reshape(-1)[: rp // COHERENT]
+        # Miscompile guard (round 5): without this barrier, the scan-
+        # stacked lists fed straight into the pallas_call made the
+        # XLA:TPU program return all-miss for every ray (hier mode,
+        # >262k rays — exactly the streaming sizes), while returning
+        # the same ids/cnt as jit outputs was exact. Pinning the scan
+        # results before the reshape/kernel restores exactness
+        # (scripts/probe_hier_min.py).
+        ids, cnt = jax.lax.optimization_barrier((ids, cnt))
 
     if group > 1:
         # Expand each coarse id into its `group` ascending sub-block ids;
@@ -676,9 +724,16 @@ def _prep(o, d, aabbs, t_limit, cull_mode="exact"):
     return rays, ids, cnt, rp, nsub, groups_per_step
 
 
-@partial(jax.jit, static_argnames=("interpret", "cull_mode"))
-def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False,
-                 cull_mode: str = "exact"):
+@trace_aware(static_argnames=("interpret", "cull_mode"))
+def _tile_search(o, d, tc, aabbs, eps, t_limit=None,
+                 interpret: bool = False, cull_mode: str = "exact"):
+    """Search entry. MUST stay inline (no nested jit) inside an outer
+    jit: with the scene constants (tc/aabbs) computed in the same outer
+    trace, a pjit call boundary around this search made the XLA:TPU
+    program return all-miss (t=BIG, idx=-1 for every ray) for the "hier"
+    pre-pass — measured round 5, scripts/probe_hier_min.py — while the
+    inlined graph and the eager-constants call were both exact. See
+    utils/tracejit.py."""
     r = o.shape[0]
     rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit, cull_mode)
     grid = rp // RAY_GROUP
@@ -716,9 +771,11 @@ def _tile_search(o, d, tc, aabbs, eps, t_limit=None, interpret: bool = False,
     return best_t, best_i
 
 
-@partial(jax.jit, static_argnames=("interpret", "cull_mode", "early_exit"))
+@trace_aware(static_argnames=("interpret", "cull_mode", "early_exit"))
 def _tile_occl(o, d, t_limit, tc, aabbs, eps, interpret: bool = False,
                cull_mode: str = "argsort", early_exit: bool = False):
+    """Occlusion entry — same inline-under-trace rule as _tile_search
+    (the nested-jit pjit boundary miscompiled the hier pre-pass on TPU)."""
     r = o.shape[0]
     rays, ids, cnt, rp, nsub, groups = _prep(o, d, aabbs, t_limit, cull_mode)
     grid = rp // RAY_GROUP

@@ -34,13 +34,21 @@ EPS = jnp.float32(np.finfo(np.float32).eps)
 
 
 def timed(label, fn, *args, iters=2, batches=2):
+    # Vary the first argument per call by a negligible nudge and force a
+    # host materialization of each batch's last result: identical-arg
+    # dispatches measured implausibly fast over the experimental axon
+    # platform (see scripts/probe_d4_backend.py) — distinct inputs plus
+    # a device->host readback defeat transport-level memoization.
+    nudges = [jax.tree.map(lambda a, k=i: a + (k + 1) * 1e-7, args[0])
+              for i in range(iters)]
     out = fn(*args)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(batches):
         t0 = time.time()
-        outs = [fn(*args) for _ in range(iters)]
+        outs = [fn(nudges[i], *args[1:]) for i in range(iters)]
         jax.block_until_ready(outs)
+        np.asarray(jax.tree.leaves(outs[-1])[0])
         best = min(best, (time.time() - t0) / iters)
     print(f"{label:56s} {best*1e3:9.1f} ms", flush=True)
     return best, out
@@ -57,32 +65,39 @@ ids_full = jnp.arange(o.shape[0], dtype=jnp.uint32)
 cfg = RenderConfig(backend="tile", ray_chunk=0, depth=1)
 
 winners = {}
-for mode in ("argsort", None):
-    rt_tile.CULL_MODE = mode
-    rt_mxu.CULL_MODE = mode
-    tag = mode or "auto(hier)"
-    s_none = jax.jit(lambda oo, dd: tile_tri_search(oo, dd, sc.triangles,
-                                                    EPS, coherent=True))
-    _, (t1, p1) = timed(f"[{tag}] cfg5 1/4 primary search", s_none, o1, d1)
-    winners[tag] = (np.asarray(t1), np.asarray(p1))
-    # real shadow wavefront occlusion
-    hp = (np.asarray(o1) + np.asarray(d1)
-          * (np.asarray(t1)[:, None] - 1e-4)).astype(np.float32)
-    lp = np.array([0.0, 30.0, 0.0], np.float32)
-    sd = lp[None] - hp
-    dist = np.linalg.norm(sd, axis=1, keepdims=True)
-    sd = (sd / np.maximum(dist, 1e-9)).astype(np.float32)
-    tl = np.where(np.asarray(p1) >= 0, dist[:, 0] - 1e-3, -1.0
-                  ).astype(np.float32)
-    so, sdir, stl = jnp.asarray(hp), jnp.asarray(sd), jnp.asarray(tl)
-    occ = jax.jit(lambda: tile_occlusion(so, sdir, stl, sc.triangles, EPS))
-    _, om = timed(f"[{tag}] cfg5 1/4 occlusion shadow wavefront", occ)
-    winners[tag + "/occ"] = np.asarray(om)
-    e2e = jax.jit(lambda oo, dd, ii: jnp.sum(
-        trace_rays(oo, dd, sc, ii, cfg) ** 2))
-    timed(f"[{tag}] cfg5 1/4 e2e", e2e, o1, d1, ids1)
-    full = jax.jit(lambda: jnp.sum(trace_rays(o, d, sc, ids_full, cfg) ** 2))
-    timed(f"[{tag}] cfg5 FULL frame e2e", full, iters=1)
+try:
+    for mode in ("argsort", None):
+        rt_tile.CULL_MODE = mode
+        rt_mxu.CULL_MODE = mode
+        tag = mode or "auto(hier)"
+        s_none = jax.jit(lambda oo, dd: tile_tri_search(oo, dd, sc.triangles,
+                                                        EPS, coherent=True))
+        _, (t1, p1) = timed(f"[{tag}] cfg5 1/4 primary search", s_none, o1, d1)
+        winners[tag] = (np.asarray(t1), np.asarray(p1))
+        # real shadow wavefront occlusion
+        hp = (np.asarray(o1) + np.asarray(d1)
+              * (np.asarray(t1)[:, None] - 1e-4)).astype(np.float32)
+        lp = np.array([0.0, 30.0, 0.0], np.float32)
+        sd = lp[None] - hp
+        dist = np.linalg.norm(sd, axis=1, keepdims=True)
+        sd = (sd / np.maximum(dist, 1e-9)).astype(np.float32)
+        tl = np.where(np.asarray(p1) >= 0, dist[:, 0] - 1e-3, -1.0
+                      ).astype(np.float32)
+        so, sdir, stl = jnp.asarray(hp), jnp.asarray(sd), jnp.asarray(tl)
+        occ = jax.jit(lambda soo, sdd, stt: tile_occlusion(
+            soo, sdd, stt, sc.triangles, EPS))
+        _, om = timed(f"[{tag}] cfg5 1/4 occlusion shadow wavefront",
+                      occ, so, sdir, stl)
+        winners[tag + "/occ"] = np.asarray(om)
+        e2e = jax.jit(lambda oo, dd, ii: jnp.sum(
+            trace_rays(oo, dd, sc, ii, cfg) ** 2))
+        timed(f"[{tag}] cfg5 1/4 e2e", e2e, o1, d1, ids1)
+        full = jax.jit(lambda oo, dd: jnp.sum(
+            trace_rays(oo, dd, sc, ids_full, cfg) ** 2))
+        timed(f"[{tag}] cfg5 FULL frame e2e", full, o, d, iters=1)
+finally:
+    rt_tile.CULL_MODE = None
+    rt_mxu.CULL_MODE = None
 
 ta, pa = winners["argsort"]
 th, ph = winners["auto(hier)"]
@@ -106,9 +121,12 @@ fo, fd = fcam.ray_grid(1920, 1080)
 fo, fd = fo.reshape(-1, 3), fd.reshape(-1, 3)
 fids = jnp.arange(fo.shape[0], dtype=jnp.uint32)
 fcfg = RenderConfig(backend="tile", ray_chunk=0, depth=1)
-for mode in ("argsort", None):
-    rt_tile.CULL_MODE = mode
-    fe2e = jax.jit(lambda: jnp.sum(trace_rays(fo, fd, fl, fids, fcfg) ** 2))
-    timed(f"[{mode or 'auto'}] flagship e2e tile", fe2e)
-rt_tile.CULL_MODE = None
-rt_mxu.CULL_MODE = None
+try:
+    for mode in ("argsort", None):
+        rt_tile.CULL_MODE = mode
+        fe2e = jax.jit(lambda oo, dd: jnp.sum(
+            trace_rays(oo, dd, fl, fids, fcfg) ** 2))
+        timed(f"[{mode or 'auto'}] flagship e2e tile", fe2e, fo, fd)
+finally:
+    rt_tile.CULL_MODE = None
+    rt_mxu.CULL_MODE = None

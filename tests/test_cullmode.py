@@ -110,12 +110,22 @@ class TestHierLists:
         ids_h, cnt_h = rt_tile._cull_lists(o, d, tl, aabbs, "hier")
         ca, ch = np.asarray(cnt_a), np.asarray(cnt_h)
         ia, ih = np.asarray(ids_a), np.asarray(ids_h)
+        # hier masks all-empty (inverted-sentinel) sub-blocks at both
+        # levels; the flat slab test keeps them. Parity is over the
+        # non-empty members of the argsort prefix.
+        A = np.asarray(aabbs)
+        empty = np.any(A[0:3] > A[3:6], axis=0)
         for r in range(len(ca)):
-            if ch[r] == nsub and ca[r] != nsub:  # overflow fallback
+            # With empties masked, a non-overflow hier cnt can never
+            # reach nsub when empties exist, so cnt==nsub detects the
+            # dense fallback exactly.
+            if ch[r] == nsub and (empty.any() or ca[r] != nsub):
                 np.testing.assert_array_equal(ih[r], np.arange(nsub))
             else:
-                assert ca[r] == ch[r]
-                np.testing.assert_array_equal(ia[r, :ca[r]], ih[r, :ca[r]])
+                pa = ia[r, :ca[r]]
+                pa = pa[~empty[pa]]
+                assert ch[r] == len(pa)
+                np.testing.assert_array_equal(pa, ih[r, :ch[r]])
 
     def test_lists_match_argsort(self, mesh, rays):
         o, d = rays
@@ -140,6 +150,29 @@ class TestHierLists:
         _, aabbs, *_ = tri_constants_sub(mesh.triangles)
         self._check_prefix(o, d, None, aabbs)
 
+    def test_empty_subblocks_masked(self, mesh, rays):
+        """Padding-heavy tables: all-empty sub-blocks never enter hier
+        kept prefixes nor consume HIER_K budget (symmetric mask at both
+        levels — the sliced-scene tail case)."""
+        o, d = rays
+        from esctp1raytracer_tpu.kernels.rt_tile import tri_constants_sub
+        from esctp1raytracer_tpu.scene.types import TriangleBuffer
+        padded = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0),
+            mesh.triangles, TriangleBuffer.empty(512))
+        _, aabbs, *_ = tri_constants_sub(padded)
+        A = np.asarray(aabbs)
+        empty = np.any(A[0:3] > A[3:6], axis=0)
+        assert empty.sum() >= 4, "fixture produced no empty sub-blocks"
+        self._check_prefix(o, d, None, aabbs)
+        nsub = aabbs.shape[1]
+        ids_h, cnt_h = rt_tile._cull_lists(o, d, None, aabbs, "hier")
+        ih, ch = np.asarray(ids_h), np.asarray(cnt_h)
+        assert (ch < nsub).all(), \
+            "empty superblocks forced the overflow fallback"
+        for r in range(len(ch)):
+            assert not empty[ih[r, :ch[r]]].any()
+
     def test_overflow_falls_back_dense(self, mesh, rays):
         """> HIER_K kept superblocks -> dense iota list, cnt = nsub."""
         o, d = rays
@@ -158,10 +191,14 @@ class TestHierLists:
         for r in np.nonzero(over)[0]:
             np.testing.assert_array_equal(np.asarray(ids)[r],
                                           np.arange(nsub))
-        # non-overflow rows still match argsort exactly
-        ca = np.asarray(cnt_a)
+        # non-overflow rows still match argsort exactly (minus the
+        # empty sub-blocks hier masks and argsort keeps)
+        A = np.asarray(aabbs)
+        empty = np.any(A[0:3] > A[3:6], axis=0)
+        ca, ia = np.asarray(cnt_a), np.asarray(ids_a)
         for r in np.nonzero(~over)[0]:
-            assert np.asarray(cnt)[r] == ca[r]
+            pa = ia[r, :ca[r]]
+            assert np.asarray(cnt)[r] == (~empty[pa]).sum()
 
     def test_nsub_not_multiple_of_group(self):
         """nsub % HIER_GROUP != 0: filler sub-ids must never be listed."""
@@ -236,17 +273,16 @@ class TestModeParity:
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
     def test_auto_resolution(self):
-        # auto: flat argsort below HIER_MIN_NSUB (the interval/extraction
-        # pre-pass stays a measured end-to-end negative — heavy-tailed
-        # list lengths, see rt_tile.CULL_MODE), the exact two-level
-        # "hier" pre-pass on wide tables (rt_tile.HIER_MIN_NSUB). The
-        # override keeps every mode selectable for A/B probes.
-        assert rt_tile._resolve_cull_mode(True, 784) == "hier"
-        assert rt_tile._resolve_cull_mode(False, 784) == "hier"
+        # auto: flat argsort EVERYWHERE. Both alternative pre-passes are
+        # measured end-to-end negatives on-chip: interval/extraction
+        # (heavy-tailed list lengths, round 4) and the two-level "hier"
+        # pass (~6x slower on the config-5 scene, round-5
+        # scripts/probe_hier.py — see the note above rt_tile.HIER_GROUP).
+        # The override keeps every mode selectable for A/B probes.
+        assert rt_tile._resolve_cull_mode(True, 784) == "argsort"
+        assert rt_tile._resolve_cull_mode(False, 784) == "argsort"
         assert rt_tile._resolve_cull_mode(True, 84) == "argsort"
         assert rt_tile._resolve_cull_mode(False, 255) == "argsort"
-        # at exactly HIER_K*HIER_GROUP columns the fine level is as wide
-        # as the flat mask — stays argsort
         assert rt_tile._resolve_cull_mode(False, 256) == "argsort"
         assert rt_mxu._resolve_cull_mode(True, 256) == "argsort"
         old = rt_tile.CULL_MODE
