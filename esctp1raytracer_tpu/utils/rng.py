@@ -15,10 +15,17 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_C1 = jnp.uint32(0x85EBCA6B)
-_C2 = jnp.uint32(0xC2B2AE35)
-_GOLDEN = jnp.uint32(0x9E3779B9)
+# numpy scalars, NOT jnp: module-level jnp constants materialize on the
+# default device at import time, which both pins them before any mesh
+# exists and initializes the XLA backend — breaking
+# jax.distributed.initialize(), which must run before first backend use
+# (tests/distributed_worker.py). Inside traced code they weak-type
+# promote identically.
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_GOLDEN = np.uint32(0x9E3779B9)
 
 
 def _fmix32(h: jax.Array) -> jax.Array:
