@@ -16,7 +16,8 @@ Mirrors the reference CLI (src/main.cpp:417-695):
 Strategy mapping (reference -> framework):
   (none)    sequential C++ loop      -> backend "jnp"   (single-device jit)
   --thread  one thread per row       -> mode  "sharded" (ray grid over mesh)
-  --ispc    SIMD over triangles      -> backend "pallas" (fused kernel)
+  --ispc    SIMD over triangles      -> backend "auto" (fused whole-frame
+            kernel on eligible scenes; "pallas" is a deprecated alias)
   --bvh     flatten + BVH            -> backend "mxu"   (feature matmul;
             the reference BVH is slower than its own brute force, SURVEY
             quirk 3, so the accelerated path here is the MXU search)
@@ -206,7 +207,11 @@ def main(argv=None) -> int:
         mode = "sharded" if args.thread else "single"
     if not backend:
         if args.ispc:
-            backend = "pallas"
+            # "auto" resolves to the fused whole-frame kernel on eligible
+            # scenes — the framework's ISPC-equivalent fused trace path.
+            # (It used to map to "pallas", the round-1 bundle kernel,
+            # retired round 5: ROOFLINE.md.)
+            backend = "auto"
         elif args.bvh:
             # --bvh --thread: accelerated + data-parallel -> the best
             # kernel for the scene, sharded over the mesh.
@@ -234,7 +239,7 @@ def main(argv=None) -> int:
     timer.fields = {
         "Threaded": str(mode == "sharded").lower(),
         "Flattened": str(backend == "mxu").lower(),
-        "ISPC": str(backend == "pallas").lower(),
+        "ISPC": str(args.ispc or backend in ("fused", "pallas")).lower(),
         "Mode": f"{mode}/{backend}",
         "Devices": jax.device_count(),
     }

@@ -12,7 +12,10 @@ reference never had is an iterative fixed-depth Whitted reflection loop
 Backends (RenderConfig.backend):
   "jnp"    — pure jnp brute force (broadcast Möller–Trumbore);
   "mxu"    — same search expressed as the feature matmul (MXU);
-  "pallas" — Pallas fused closest-hit/occlusion kernels (kernels/).
+  "lane"/"tile"/"mxtile" — the Pallas kernel families (kernels/);
+  "fused"/"auto" — whole-frame fused kernel when eligible, else by size;
+  "pallas" — deprecated alias of "auto" (the round-1 bundle kernel it
+  named was retired in round 5 — it won no measured regime, ROOFLINE.md).
 """
 
 from __future__ import annotations
@@ -48,7 +51,9 @@ class RenderConfig:
     shadow_eps: float = 1e-4
     block_size: int = 512
     ray_chunk: int = 0  # 0 = trace all rays in one wavefront
-    backend: str = "jnp"  # "jnp"|"mxu"|"pallas"|"tile"|"mxtile"|"lane"|"fused"|"auto"
+    # "jnp"|"mxu"|"tile"|"mxtile"|"lane"|"fused"|"auto"
+    # ("pallas" is accepted as a deprecated alias of "auto")
+    backend: str = "jnp"
     seed: int = 0
     # "area" = corrected ISPC-style area-light sampling;
     # "reference_cpp" = bit-faithful reproduction of the C++ path's
@@ -85,12 +90,19 @@ def _auto_backend(scene: Scene = None) -> str:
     return "mxtile" if n <= MXU_TRI_LIMIT else "tile"
 
 
+def _canon_backend(backend: str) -> str:
+    """"pallas" named the round-1 bundle kernel; it was retired in round
+    5 after winning no measured regime (ROOFLINE.md), and the name now
+    aliases "auto" so existing configs/CLIs keep working."""
+    return "auto" if backend == "pallas" else backend
+
+
 def resolve_backend(cfg: RenderConfig, scene: Scene = None) -> str:
     """Concrete backend name trace_rays will route (cfg, scene) to —
     the fused whole-frame gate first, then the size-based auto rule.
     Reporting/artifact helper (MATRIX_rN legs record which kernel ran);
     traces nothing."""
-    backend = cfg.backend
+    backend = _canon_backend(cfg.backend)
     if backend in ("fused", "auto") and scene is not None:
         from esctp1raytracer_tpu.kernels.fused_pallas import (
             _fallback_cfg, fused_supported,
@@ -111,17 +123,13 @@ def _search_fns(cfg: RenderConfig, scene: Scene = None):
     "auto" picks per scene size (thresholds measured on-chip, see
     _auto_backend): lane < 4k tris <= mxtile <= one VMEM segment < tile.
     """
-    backend = cfg.backend
+    backend = _canon_backend(cfg.backend)
     if backend == "auto":
         backend = _auto_backend(scene)
     if backend == "lane":
         from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
 
         return lane_tri_search, True
-    if backend == "pallas":
-        from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
-
-        return pallas_tri_search, True
     if backend == "tile":
         from esctp1raytracer_tpu.kernels.rt_tile import tile_tri_search
 
@@ -182,7 +190,7 @@ def trace_rays(
              ray_ids.reshape(-1, chunk)),
         )
         return color.reshape(-1, 3)[:r]
-    if cfg.backend in ("fused", "auto"):
+    if _canon_backend(cfg.backend) in ("fused", "auto"):
         from esctp1raytracer_tpu.kernels.fused_pallas import (
             _fallback_cfg, fused_supported, fused_trace_diff,
         )

@@ -1,6 +1,6 @@
 """Ray-lane Pallas kernel: brute force for small primitive tables.
 
-The bundle kernel (hit_pallas.py) puts triangles on the VPU lanes and
+The retired round-1 bundle kernel put triangles on the VPU lanes and
 rays on the scalar unit — right when the table is large and per-bundle
 culling pays. For small tables (Cornell's 36 triangles, anything under a
 few thousand) its per-ray overhead floor dominates. This kernel is the
@@ -101,7 +101,7 @@ def _lane_kernel(eps_ref, n_ref, tcs_ref, rays_ref, t_ref, idx_ref):
         u = wux * px + wuy * py + wuz * pz + bu
         v = wvx * px + wvy * py + wvz * pz + bv
         # u <= 1 implied by v >= eps & u+v <= 1; invalid triangles have
-        # n = 0 so det == 0 rejects them (see hit_pallas._hit_kernel).
+        # n = 0 so det == 0 rejects them.
         ok = (
             ok_det
             & (jnp.minimum(u, v) >= eps)

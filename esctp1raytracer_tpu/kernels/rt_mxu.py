@@ -49,7 +49,7 @@ from esctp1raytracer_tpu.core.intersect import (
     BIG, NO_HIT, ray_features, tri_features,
 )
 from esctp1raytracer_tpu.utils.tracejit import trace_aware
-from esctp1raytracer_tpu.kernels.hit_pallas import (
+from esctp1raytracer_tpu.kernels.cull import (
     block_cull_mask,
     extract_lists,
     group_cull_mask,

@@ -1,10 +1,11 @@
 """Ray x triangle tile kernel: 8 rays x 128 triangles per vector op.
 
-The bundle kernel (hit_pallas.py) assigns a vector tile to (1 ray x 1024
-triangles), so its culling granularity is 1024 triangles — and measured
-on the flagship scene the mean ray tests ~2.7 such blocks = ~2760
-pairs. Shrinking blocks under the (8, 128) tile doesn't help there: a
-masked sub-tile costs the same vector issue slots as a full one.
+The round-1 bundle kernel (retired round 5; its cull machinery lives on
+in kernels/cull.py) assigned a vector tile to (1 ray x 1024 triangles),
+so its culling granularity was 1024 triangles — and measured on the
+flagship scene the mean ray tests ~2.7 such blocks = ~2760 pairs.
+Shrinking blocks under the (8, 128) tile doesn't help there: a masked
+sub-tile costs the same vector issue slots as a full one.
 
 This kernel transposes the assignment: **sublanes are the bundle's 8
 rays, lanes are 128 triangles** — one Morton-sorted sub-block per
@@ -44,7 +45,7 @@ import dataclasses
 from esctp1raytracer_tpu.accel.clusters import build_clusters
 from esctp1raytracer_tpu.core.intersect import BIG, NO_HIT
 from esctp1raytracer_tpu.utils.tracejit import trace_aware
-from esctp1raytracer_tpu.kernels.hit_pallas import (
+from esctp1raytracer_tpu.kernels.cull import (
     block_cull_mask,
     extract_lists,
     group_cull_mask,

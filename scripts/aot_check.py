@@ -8,7 +8,8 @@ green on CPU and zeroed the round's on-chip benchmark. This gate compiles
 AND runs each kernel entry point on-device, so a CPU-green / device-red
 regression is caught before the commit, not at round end.
 
-Coverage: lane / bundle / tile / mxtile search + occlusion, mxtile with
+Coverage: lane / tile / mxtile search + occlusion (the round-1 bundle
+kernel was retired round 5 — ROOFLINE.md), mxtile with
 bf16x3 on and off, the fused whole-frame kernel at depth 1/2/4, the
 composed auto-route forward, and (unless --quick) the fwd+bwd grad path.
 
@@ -43,10 +44,6 @@ from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box
 from esctp1raytracer_tpu.core.render import trace_rays
 from esctp1raytracer_tpu.kernels import rt_mxu
 from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
-from esctp1raytracer_tpu.kernels.hit_pallas import (
-    pallas_occlusion,
-    pallas_tri_search,
-)
 from esctp1raytracer_tpu.kernels.rt_mxu import (
     mxu_tile_occlusion,
     mxu_tile_search,
@@ -141,8 +138,6 @@ def main() -> int:
 
     checks = [
         ("lane search", lambda: check_search(lane_tri_search, cornell)),
-        ("bundle search", lambda: check_search(pallas_tri_search, mid)),
-        ("bundle occlusion", lambda: check_occl(pallas_occlusion, mid)),
         ("tile search", lambda: check_search(tile_tri_search, mid)),
         ("tile occlusion", lambda: check_occl(tile_occlusion, mid)),
         ("mxtile search", lambda: check_search(mxu_tile_search, mid)),

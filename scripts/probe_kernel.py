@@ -6,6 +6,8 @@ without t-limit block culling. One TPU process; compiles are cached.
 
 Usage: timeout 3500 python scripts/probe_kernel.py
 """
+import sys as _s
+_s.exit("historical probe: the round-1 bundle kernel (hit_pallas) it measures was retired in round 5 (ROOFLINE.md); its cull utilities live in kernels/cull.py")
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 

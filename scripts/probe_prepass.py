@@ -21,7 +21,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 from esctp1raytracer_tpu import Camera
 from esctp1raytracer_tpu.kernels import rt_tile
-from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+from esctp1raytracer_tpu.kernels.cull import block_cull_mask
 from esctp1raytracer_tpu.scene import builders
 
 

@@ -3,6 +3,8 @@
 Primary closest-hit sweep + shadow any-hit sweep at 1080p x 10.2k tris,
 plus end-to-end forward/backward via trace_rays. Device-side timings.
 """
+import sys as _s
+_s.exit("historical probe: the round-1 bundle kernel (hit_pallas) it measures was retired in round 5 (ROOFLINE.md); its cull utilities live in kernels/cull.py")
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 

@@ -59,6 +59,13 @@ def main() -> int:
     ap.add_argument("--json", default="",
                     help="also write the strategy table as JSON (the "
                          "committed on-chip artifact, e.g. RUN_MATRIX.json)")
+    ap.add_argument("--golden", default="",
+                    help="path to tests/golden/cornell_cpp_mean.npz: render "
+                         "light_mode=reference_cpp at FULL size (4 seeds "
+                         "averaged, the reference's own nondeterminism "
+                         "model) and record the diff statistics vs the "
+                         "reference binary's mean image — the full-res "
+                         "on-chip version of tests/test_golden.py")
     args = ap.parse_args()
     width, height = (int(x) for x in args.size.split("x"))
     eye = tuple(float(x) for x in args.eye.split(","))
@@ -113,6 +120,56 @@ def main() -> int:
         status = "OK" if flips < 0.005 else "MISMATCH"
         ok &= flips < 0.005
         print(f"  {suffix:<10} vs sequential: {flips*100:.3f}% pixels differ -> {status}")
+    golden_stats = None
+    if args.golden:
+        # Full-resolution golden comparison against the reference C++
+        # binary's 6-run mean image (the de-facto golden of the
+        # reference's scripts/run.sh:27-41 eyeball comparison). Same
+        # protocol as tests/test_golden.py but at FULL resolution on the
+        # chip: reference_cpp light mode (quirk-2 two-point sampling),
+        # float-eps shadow back-off (the reference's self-shadow acne is
+        # real signal), 4 seeds averaged vs the golden's 6-run average.
+        data = np.load(args.golden)
+        gold = data["image"].astype(np.float32) / 255.0
+        gh, gw, _ = gold.shape
+        acc = []
+        t0 = time.perf_counter()
+        for seed in range(4):
+            gcfg = RenderConfig(light_mode="reference_cpp", seed=seed,
+                                shadow_eps=1.1920929e-07)
+            gimg = np.asarray(render(scene, cam, gw, gh, gcfg))
+            acc.append(np.minimum(gimg, 1.0))
+        golden_ms = (time.perf_counter() - t0) * 1e3
+        mine = np.mean(acc, axis=0)
+
+        def patches(a):
+            h, w, _ = a.shape
+            return a[: h - h % 8, : w - w % 8].reshape(
+                h // 8, 8, w // 8, 8, 3).mean((1, 3))
+
+        pd = np.abs(patches(gold) - patches(mine)).max(-1)
+        px = np.abs(gold - mine).max(-1)
+        golden_stats = {
+            "golden": os.path.basename(args.golden),
+            "size": f"{gw}x{gh}",
+            "seeds_averaged": 4,
+            "render_4seed_ms": round(golden_ms, 1),
+            "mean_lum_delta": round(float(abs(mine.mean() - gold.mean())), 5),
+            "mean_abs_diff": round(float(px.mean()), 5),
+            "patch8_median": round(float(np.median(pd)), 5),
+            "patch8_frac_lt_0.12": round(float((pd < 0.12).mean()), 5),
+            "pixel_flip_frac_gt_0.1": round(float((px > 0.1).mean()), 5),
+        }
+        print("golden vs reference_cpp (full res):",
+              " ".join(f"{k}={v}" for k, v in golden_stats.items()
+                       if k not in ("golden", "size")))
+        # The same thresholds tests/test_golden.py enforces downsampled.
+        g_ok = (golden_stats["patch8_median"] < 0.03
+                and golden_stats["patch8_frac_lt_0.12"] > 0.9
+                and golden_stats["mean_lum_delta"] < 0.02)
+        golden_stats["pass"] = bool(g_ok)
+        ok &= g_ok
+
     if args.json:
         import json
         import platform
@@ -132,6 +189,8 @@ def main() -> int:
             "cross_check_flip_frac": flips_by,
             "all_match": ok,
         }
+        if golden_stats is not None:
+            rec["golden_vs_reference"] = golden_stats
         with open(args.json, "w") as fh:
             json.dump(rec, fh, indent=1)
         print(f"wrote {args.json}")

@@ -9,7 +9,7 @@ import pytest
 
 from esctp1raytracer_tpu import Camera
 from esctp1raytracer_tpu.kernels import rt_mxu, rt_tile
-from esctp1raytracer_tpu.kernels.hit_pallas import (
+from esctp1raytracer_tpu.kernels.cull import (
     block_cull_mask,
     extract_lists,
     group_cull_mask,

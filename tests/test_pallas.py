@@ -1,9 +1,17 @@
-"""Pallas fused closest-hit kernel tests (interpret mode on CPU).
+"""Pallas lane-kernel tests (interpret mode on CPU).
 
 Cross-backend golden equality is the SURVEY.md §4 strategy: the reference
 validated its ISPC kernel against the C++ loop by comparing rendered
-images; here the Pallas kernel is validated against the jnp search the
+images; here the Pallas kernels are validated against the jnp search the
 same way (plus index-level agreement).
+
+The round-1 "bundle" kernel (hit_pallas.py) that this file originally
+covered was retired in round 5 — it won no measured regime vs
+lane/mxtile/tile (ROOFLINE.md); its cull pre-pass utilities moved to
+kernels/cull.py (tested in tests/test_cullmode.py) and the "pallas"
+backend name became a deprecated alias of "auto" (tested below). The
+tile/mxtile kernel families have their own suites (test_rt_tile.py,
+test_cullmode.py).
 """
 
 import numpy as np
@@ -13,13 +21,6 @@ import jax.numpy as jnp
 
 from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box, render
 from esctp1raytracer_tpu.core.intersect import EPS, argmin_hit
-from esctp1raytracer_tpu.kernels.hit_pallas import (
-    BLOCK,
-    VMEM_TRI_LIMIT,
-    pallas_tri_search,
-    tri_constants_blocked,
-)
-from esctp1raytracer_tpu.scene.builders import mesh_scene
 
 CAM = Camera.look_at((0, 1, 2), (0, 1, 0), aspect=1.0)
 
@@ -27,72 +28,6 @@ CAM = Camera.look_at((0, 1, 2), (0, 1, 0), aspect=1.0)
 @pytest.fixture(scope="module")
 def cornell():
     return cornell_box()
-
-
-class TestKernel:
-    def test_matches_jnp_search(self, cornell):
-        o, d = CAM.ray_grid(64, 64)
-        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        t1, p1, _ = argmin_hit(o, d, cornell, use_mxu=False)
-        t2, p2 = pallas_tri_search(o, d, cornell.triangles, EPS)
-        p1, p2 = np.asarray(p1), np.asarray(p2)
-        assert (p1 == p2).mean() > 0.998  # borderline eps-window flips only
-        same = (p1 == p2) & (p1 >= 0)
-        np.testing.assert_allclose(
-            np.asarray(t1)[same], np.asarray(t2)[same], rtol=1e-4, atol=1e-5
-        )
-
-    def test_mesh_scene_agreement(self):
-        scene = mesh_scene(subdivisions=2)  # 320-tri icosphere + ground + light
-        cam = Camera.look_at((0, 2, 6), (0, 1, 0), aspect=1.0)
-        o, d = cam.ray_grid(48, 48)
-        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        _, p1, _ = argmin_hit(o, d, scene, use_mxu=False)
-        _, p2 = pallas_tri_search(o, d, scene.triangles, EPS)
-        assert (np.asarray(p1) == np.asarray(p2)).mean() > 0.995
-
-    def test_nonmultiple_ray_count_padding(self, cornell):
-        o, d = CAM.ray_grid(33, 17)  # 561 rays, not a tile multiple
-        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        t, p = pallas_tri_search(o, d, cornell.triangles, EPS)
-        assert t.shape == (561,)
-        assert (np.asarray(p) < 36).all()
-
-    def test_beyond_vmem_capacity_slices_and_matches(self, cornell, monkeypatch):
-        """Tables over the VMEM cap sweep in spatial segments and must be
-        result-identical to the single resident sweep (incl. tie rule)."""
-        from esctp1raytracer_tpu.kernels import hit_pallas
-        from esctp1raytracer_tpu.scene.builders import mesh_scene
-
-        scene = mesh_scene(subdivisions=3)  # 1282 tris -> capacity 2048
-        o, d = CAM.ray_grid(32, 32)
-        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        t_ref, p_ref = pallas_tri_search(o, d, scene.triangles, EPS)
-        monkeypatch.setattr(hit_pallas, "VMEM_TRI_LIMIT", 1024)
-        t_sl, p_sl = pallas_tri_search(o, d, scene.triangles, EPS)
-        np.testing.assert_array_equal(np.asarray(p_sl), np.asarray(p_ref))
-        np.testing.assert_allclose(np.asarray(t_sl), np.asarray(t_ref),
-                                   rtol=0, atol=0)
-
-    def test_tri_constants_shape_and_degenerates(self, cornell):
-        tc, aabbs, perm = tri_constants_blocked(cornell.triangles)
-        tc = np.asarray(tc)
-        npad = tc.shape[1] * BLOCK
-        assert tc.shape == (16, npad // BLOCK, 8, 128)
-        # valid row marks exactly the real triangles
-        assert (tc[12] > 0).sum() == 36
-        # perm maps every sorted position to a distinct original triangle
-        p = np.asarray(perm)
-        assert len(set(p[p >= 0].tolist())) == cornell.num_triangles
-
-
-class TestRenderBackend:
-    def test_render_matches_jnp_backend(self, cornell):
-        a = np.asarray(render(cornell, CAM, 64, 64, RenderConfig(backend="jnp")))
-        b = np.asarray(render(cornell, CAM, 64, 64, RenderConfig(backend="pallas")))
-        diff = np.abs(a - b).max(-1)
-        assert (diff > 1e-3).mean() < 0.005
-        assert np.median(diff) < 1e-5
 
 
 class TestLaneKernel:
@@ -144,40 +79,16 @@ class TestLaneKernel:
         assert (diff > 1e-3).mean() < 0.005
 
 
-class TestOcclusionKernel:
-    def test_matches_closest_hit_compare(self, cornell):
-        from esctp1raytracer_tpu.core.intersect import _sphere_best, argmin_hit
-        from esctp1raytracer_tpu.kernels.hit_pallas import (
-            pallas_occlusion, pallas_tri_search)
+class TestPallasAlias:
+    """backend="pallas" must keep rendering (deprecated alias of "auto")."""
 
-        o, d = CAM.ray_grid(48, 48)
-        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        # realistic shadow wavefront: from primary hits toward the light
-        t, _ = pallas_tri_search(o, d, cornell.triangles, EPS)
-        hit = np.asarray(t) < 1e29
-        hp = np.asarray(o) + np.asarray(d) * (np.asarray(t)[:, None] - 1e-4)
-        p = np.asarray([0.0, 1.97, 0.0], np.float32)
-        lv = p - hp
-        dist = np.linalg.norm(lv, axis=-1)
-        sd = jnp.asarray(lv / np.maximum(dist, 1e-9)[:, None], jnp.float32)
-        so = jnp.asarray(hp, jnp.float32)
-        tl = jnp.asarray(dist - 1e-4, jnp.float32)
+    def test_alias_resolves_and_matches_jnp(self, cornell):
+        from esctp1raytracer_tpu.core.render import resolve_backend
 
-        occ_kernel = np.asarray(pallas_occlusion(so, sd, tl, cornell.triangles, EPS))
-        best_t, _ = pallas_tri_search(so, sd, cornell.triangles, EPS)
-        occ_compare = np.asarray(best_t) < np.asarray(tl)
-        agree = (occ_kernel == occ_compare)[hit]
-        assert agree.mean() > 0.999, f"{(~agree).sum()} occlusion flips"
-
-    def test_sliced_occlusion_matches(self, monkeypatch):
-        from esctp1raytracer_tpu.kernels import hit_pallas
-        from esctp1raytracer_tpu.scene.builders import mesh_scene
-
-        scene = mesh_scene(subdivisions=3)
-        o, d = CAM.ray_grid(16, 16)
-        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        tl = jnp.full((o.shape[0],), 10.0, jnp.float32)
-        ref = np.asarray(hit_pallas.pallas_occlusion(o, d, tl, scene.triangles, EPS))
-        monkeypatch.setattr(hit_pallas, "VMEM_TRI_LIMIT", 1024)
-        sliced = np.asarray(hit_pallas.pallas_occlusion(o, d, tl, scene.triangles, EPS))
-        np.testing.assert_array_equal(sliced, ref)
+        cfg = RenderConfig(backend="pallas")
+        resolved = resolve_backend(cfg, cornell)
+        assert resolved in ("fused", "lane", "mxtile", "tile")
+        a = np.asarray(render(cornell, CAM, 48, 48, RenderConfig(backend="jnp")))
+        b = np.asarray(render(cornell, CAM, 48, 48, cfg))
+        diff = np.abs(a - b).max(-1)
+        assert (diff > 1e-2).mean() < 0.005

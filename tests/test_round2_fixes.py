@@ -48,7 +48,7 @@ class TestNaNCull:
     )  # one block: x/z in [-2, 2], y flat at 0
 
     def test_nan_lane_is_kept(self):
-        from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+        from esctp1raytracer_tpu.kernels.cull import block_cull_mask
 
         # o.x == bmax.x == 2 with d.x == 0 -> NaN lane; ray otherwise
         # passes straight down through the box.
@@ -58,7 +58,7 @@ class TestNaNCull:
         assert bool(mask[0, 0])
 
     def test_normal_hit_and_miss_unchanged(self):
-        from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+        from esctp1raytracer_tpu.kernels.cull import block_cull_mask
 
         o = jnp.asarray(
             [[0.0, 1.0, 0.0], [5.0, 1.0, 0.0], [0.0, -1.0, 0.0]], jnp.float32
@@ -72,7 +72,7 @@ class TestNaNCull:
         assert not bool(mask[2, 0])   # box behind the origin
 
     def test_t_limit_culls_far_blocks(self):
-        from esctp1raytracer_tpu.kernels.hit_pallas import block_cull_mask
+        from esctp1raytracer_tpu.kernels.cull import block_cull_mask
 
         o = jnp.asarray([[0.0, 10.0, 0.0]], jnp.float32)
         d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)

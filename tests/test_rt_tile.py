@@ -11,7 +11,6 @@ import jax.numpy as jnp
 
 from esctp1raytracer_tpu import Camera, RenderConfig, cornell_box, render
 from esctp1raytracer_tpu.core.intersect import EPS, argmin_hit
-from esctp1raytracer_tpu.kernels.hit_pallas import pallas_tri_search
 from esctp1raytracer_tpu.kernels.rt_tile import (
     tile_occlusion,
     tile_tri_search,
@@ -39,17 +38,26 @@ class TestTileKernel:
             np.asarray(t1)[same], np.asarray(t2)[same], rtol=1e-4, atol=1e-5
         )
 
-    def test_matches_bundle_kernel(self):
-        """Both kernels evaluate identical constants over the same sorted
-        table; winners and distances must agree exactly."""
+    def test_matches_lane_kernel(self):
+        """Lane and tile kernels evaluate the same plane-constant MT
+        formulation; winners must agree at non-borderline pixels and the
+        agreeing distances bit-compare within f32 rounding. (This was the
+        bundle-kernel cross-check before that kernel's round-5 retirement
+        — lane serves the same independent-implementation role.)"""
         scene = mesh_scene(subdivisions=2)
         cam = Camera.look_at((0, 2, 6), (0, 1, 0), aspect=1.0)
         o, d = cam.ray_grid(48, 48)
         o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-        t1, p1 = pallas_tri_search(o, d, scene.triangles, EPS)
+        from esctp1raytracer_tpu.kernels.lane_pallas import lane_tri_search
+
+        t1, p1 = lane_tri_search(o, d, scene.triangles, EPS)
         t2, p2 = tile_tri_search(o, d, scene.triangles, EPS)
-        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
-        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+        p1, p2 = np.asarray(p1), np.asarray(p2)
+        agree = p1 == p2
+        assert agree.mean() > 0.998
+        np.testing.assert_allclose(np.asarray(t1)[agree & (p1 >= 0)],
+                                   np.asarray(t2)[agree & (p1 >= 0)],
+                                   rtol=2e-6)
 
     def test_nonmultiple_ray_count(self, cornell):
         o, d = CAM.ray_grid(33, 17)  # 561 rays
