@@ -50,6 +50,7 @@ from esctp1raytracer_tpu.scene.types import Scene
 
 RAYS_PER_STEP = 1024  # one (8, 128) tile of rays per grid step
 FUSED_TRI_LIMIT = 2048  # SMEM: (13 + 32) * N * 4 B = 360 KB at 2048
+FUSED_CHUNK = 128  # triangles per cullable sweep chunk (= clusters.CLUSTER)
 _SHAD_W = 32  # v0 v1 v2 n0 n1 n2 has_n ka kd ks ke ns
 _SPH_W = 18  # center radius valid ka kd ks ke ns
 _TINY = np.float32(1e-12)
@@ -90,10 +91,42 @@ def fused_supported(scene: Scene, depth: int, light_mode: str) -> bool:
 def fused_tables(scene: Scene):
     """SMEM-resident tables: intersection constants + shading attributes.
 
+    Round 5: triangles are Morton-cluster-sorted (accel/clusters.py) and
+    padded to a FUSED_CHUNK multiple, and per-chunk AABBs ride along —
+    the kernel culls whole chunks per sweep against the masked interval
+    hull of each 1024-ray tile, replacing the zero-cull brute-force
+    sweeps that lost 1.41x to the mxtile bounce loop on the depth-4
+    mixed config (scripts/probe_d4_backend.py). Sorting also tightens
+    the winner-fetch index windows (coherent rays' winners cluster
+    spatially = contiguously in sorted order).
+
     Returns (tcs [1,13N], shad [1,32N], sph [1,18S], lcorners [1,L*F*9],
-    counts [L] int32, n_tris [1] int32).
+    cab [1,G*6] chunk AABBs, counts [L] int32, n_tris [1] int32) with N
+    the padded sorted capacity and G = N // FUSED_CHUNK. The light
+    corner table indexes the ORIGINAL buffer (lights reference original
+    triangle ids), so it is built before the sort.
     """
-    tris = scene.triangles
+    from esctp1raytracer_tpu.accel.clusters import build_clusters
+    from esctp1raytracer_tpu.scene.types import TriangleBuffer
+
+    tris0 = scene.triangles
+    packed0 = jnp.concatenate([tris0.v0, tris0.v1, tris0.v2], axis=1)
+    pad = (-tris0.capacity) % FUSED_CHUNK
+    tpad = tris0
+    if pad:
+        filler = TriangleBuffer.empty(pad)
+        tpad = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), tris0, filler
+        )
+    clustered = build_clusters(tpad)
+    tris = clustered.tris
+    # Chunk AABBs: build_clusters' CLUSTER granularity == FUSED_CHUNK.
+    # Invalid triangles carry inverted sentinel boxes; an all-invalid
+    # chunk stays inverted (min > max) and the kernel drops it
+    # explicitly (the interval slab test would conservatively keep it).
+    cab = jnp.concatenate(
+        [clustered.cluster_min, clustered.cluster_max], axis=1
+    )  # [G, 6]
     tcs = lane_tri_constants(tris)
     shad = jnp.concatenate(
         [
@@ -113,12 +146,12 @@ def fused_tables(scene: Scene):
         axis=1,
     )  # [S, 18]
     lt = scene.lights
-    packed = jnp.concatenate([tris.v0, tris.v1, tris.v2], axis=1)  # [N, 9]
-    lc = jnp.take(packed, lt.tri_idx, axis=0)  # [L, F, 9]
+    lc = jnp.take(packed0, lt.tri_idx, axis=0)  # [L, F, 9] (original ids)
     iota = jnp.arange(tris.capacity, dtype=jnp.int32)
     n_tris = (jnp.max(jnp.where(tris.valid, iota, -1)) + 1).reshape(1)
     return (tcs, shad.reshape(1, -1), spht.reshape(1, -1),
-            lc.reshape(1, -1), lt.face_count.astype(jnp.int32), n_tris)
+            lc.reshape(1, -1), cab.reshape(1, -1),
+            lt.face_count.astype(jnp.int32), n_tris)
 
 
 def _stream_const(stream: int) -> np.uint32:
@@ -127,7 +160,7 @@ def _stream_const(stream: int) -> np.uint32:
 
 
 def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
-                 shadow_eps: float, depth: int = 1):
+                 shadow_eps: float, depth: int = 1, G: int = 1):
     """Build the frame kernel for static (sphere count, lights, faces, cfg).
 
     depth > 1 unrolls the iterative Whitted reflection loop of
@@ -136,6 +169,15 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
     throughput, active) carried in vector registers — no hit-info round
     trip through HBM between bounces. RNG streams are (bounce*1024+l)*4
     + {0,1,2}, matching core/shading.py:sample_lights draw-for-draw.
+
+    G = number of FUSED_CHUNK-triangle chunks. Every sweep (bounce
+    search and per-light shadow) first builds a compacted chunk list in
+    SMEM scratch from a conservative interval slab test of the tile's
+    *masked* ray hull (active lanes for search; active & hit & lit
+    lanes for shadow) against the chunk AABBs, then loops exactly that
+    list — culling by loop bound, the architectural rule from
+    ROOFLINE.md (mid-loop exits lose to pipelined fixed sweeps). Tiles
+    whose rays all died skip later-bounce sweeps entirely (cnt = 0).
     """
     # numpy scalars only: jnp constants would be captured tracers, which
     # pallas_call rejects — np scalars embed as literals.
@@ -166,8 +208,85 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
         return (bits >> u8).astype(jnp.int32).astype(jnp.float32) * to_unit
 
     def kernel(n_ref, cnt_ref, tcs_ref, shad_ref, sph_ref, lc_ref,
-               rays_ref, ids_ref, out_ref):
-        n_tris = n_ref[0]
+               cab_ref, rays_ref, ids_ref, out_ref, list_ref):
+        fbig = np.float32(3.4e38)
+
+        def chunk_cull(mask, cox, coy, coz, cdx, cdy, cdz, tmax=None):
+            """Compacted chunk list for one sweep -> count (int32 scalar).
+
+            Masked interval hull of the tile's rays (lanes outside
+            `mask` contribute nothing), then one scalar slab test per
+            chunk AABB — conservative exactly like cull.group_cull_mask:
+            a culled chunk provably intersects no masked ray within
+            [0, tmax], so the per-pair tests of kept chunks reproduce
+            the full sweep's accepted set (and first-wins order: the
+            list is ascending). All-invalid chunks (inverted sentinel
+            boxes, which an interval test keeps) are dropped explicitly.
+            """
+            def mn(v):
+                return jnp.min(jnp.where(mask, v, fbig))
+
+            def mx(v):
+                return jnp.max(jnp.where(mask, v, -fbig))
+
+            o_lo = (mn(cox), mn(coy), mn(coz))
+            o_hi = (mx(cox), mx(coy), mx(coz))
+            d_lo = (mn(cdx), mn(cdy), mn(cdz))
+            d_hi = (mx(cdx), mx(cdy), mx(cdz))
+            live = jnp.max(jnp.where(mask, 1, 0)) > 0
+            # Per-axis interval reciprocals (chunk-independent).
+            il, ih, unb = [], [], []
+            for a in range(3):
+                u = (d_lo[a] <= 0.0) & (d_hi[a] >= 0.0)
+                ia = 1.0 / jnp.where(u, 1.0, d_hi[a])
+                ib = 1.0 / jnp.where(u, 1.0, d_lo[a])
+                il.append(jnp.minimum(ia, ib))
+                ih.append(jnp.maximum(ia, ib))
+                unb.append(u)
+            cnt = jnp.int32(0)
+            for g in range(G):
+                base = g * 6
+                near_all = np.float32(-3.4e38)
+                far_all = fbig
+                for a in range(3):
+                    bmin = cab_ref[0, base + a]
+                    bmax = cab_ref[0, base + 3 + a]
+                    lo1 = bmin - o_hi[a]
+                    hi1 = bmin - o_lo[a]
+                    lo2 = bmax - o_hi[a]
+                    hi2 = bmax - o_lo[a]
+                    p0 = lo1 * il[a]
+                    p1 = lo1 * ih[a]
+                    p2 = hi1 * il[a]
+                    p3 = hi1 * ih[a]
+                    p4 = lo2 * il[a]
+                    p5 = lo2 * ih[a]
+                    p6 = hi2 * il[a]
+                    p7 = hi2 * ih[a]
+                    near = jnp.minimum(
+                        jnp.minimum(jnp.minimum(p0, p1), jnp.minimum(p2, p3)),
+                        jnp.minimum(jnp.minimum(p4, p5), jnp.minimum(p6, p7)))
+                    far = jnp.maximum(
+                        jnp.maximum(jnp.maximum(p0, p1), jnp.maximum(p2, p3)),
+                        jnp.maximum(jnp.maximum(p4, p5), jnp.maximum(p6, p7)))
+                    near = jnp.where(unb[a], -fbig, near)
+                    far = jnp.where(unb[a], fbig, far)
+                    near_all = jnp.maximum(near_all, near)
+                    far_all = jnp.minimum(far_all, far)
+                keep = jnp.logical_not((near_all > far_all) | (far_all < 0.0))
+                if tmax is not None:
+                    keep &= jnp.logical_not(near_all > tmax)
+                # Non-empty chunk + at least one masked lane in the tile.
+                keep &= cab_ref[0, base] <= cab_ref[0, base + 3]
+                keep &= live
+
+                @pl.when(keep)
+                def _():
+                    list_ref[0, cnt] = np.int32(g)
+
+                cnt = cnt + keep.astype(jnp.int32)
+            return cnt
+
         ox = rays_ref[0, 0:8, :]
         oy = rays_ref[0, 8:16, :]
         oz = rays_ref[0, 16:24, :]
@@ -183,7 +302,11 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
         active = jnp.full((8, 128), True)
 
         for b in range(depth):
-            # ---- primary closest hit: triangles (plane constants) ----------
+            # ---- primary closest hit: triangles (plane constants),
+            # chunk-culled: sweep only the chunks whose AABB the active
+            # lanes' interval hull can reach ------------------------------
+            cnt_c = chunk_cull(active, ox, oy, oz, dx, dy, dz)
+
             def search(i, carry):
                 bt, bi = carry
                 base = i * 13
@@ -215,8 +338,13 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
                 return (jnp.where(better, t, bt),
                         jnp.where(better, jnp.full((8, 128), i, jnp.int32), bi))
 
+            def search_chunk(k, carry):
+                c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
+                return jax.lax.fori_loop(
+                    c0, c0 + np.int32(FUSED_CHUNK), search, carry)
+
             bt, bi = jax.lax.fori_loop(
-                0, n_tris, search,
+                0, cnt_c, search_chunk,
                 (jnp.full((8, 128), big, jnp.float32),
                  jnp.full((8, 128), NO_HIT, jnp.int32)),
             )
@@ -402,6 +530,17 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
                 ldx, ldy, ldz = lvx * inv_d, lvy * inv_d, lvz * inv_d
                 t_lim = dist - sh_eps
 
+                # Occlusion only matters where it can gate a contribution:
+                # active & hit & facing the light (vis below). The masked
+                # hull of those lanes' shadow segments culls the sweep;
+                # lanes outside the mask keep whatever occ the kept chunks
+                # produce, but vis gates them off identically either way.
+                d_nl = nx_ * ldx + ny_ * ldy + nz_ * ldz
+                smask = active & hit & (d_nl > 0.0)
+                s_tmax = jnp.max(jnp.where(smask, t_lim, -fbig))
+                cnt_s = chunk_cull(smask, hpx, hpy, hpz, ldx, ldy, ldz,
+                                   tmax=s_tmax)
+
                 def shadow(i, occ):
                     base = i * 13
                     snx = tcs_ref[0, base + 0]
@@ -428,16 +567,20 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
                     ok = (ok_det & (jnp.minimum(u, v) >= epsf)
                           & (u + v <= 1.0) & (t >= epsf) & (t < t_lim))
                     # int32 carry: Mosaic cannot legalize a fori_loop carrying
-                    # a bool (i1) vector — same pattern as hit_pallas._occl_kernel.
+                    # a bool (i1) vector — same pattern as rt_tile._occl_tile_kernel.
                     return jnp.maximum(occ, jnp.where(ok, 1, 0))
 
-                occ = jax.lax.fori_loop(0, n_tris, shadow,
+                def shadow_chunk(k, occ):
+                    c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
+                    return jax.lax.fori_loop(
+                        c0, c0 + np.int32(FUSED_CHUNK), shadow, occ)
+
+                occ = jax.lax.fori_loop(0, cnt_s, shadow_chunk,
                                         jnp.zeros((8, 128), jnp.int32))
                 for j in range(S):
                     t = sphere_t(j, hpx, hpy, hpz, ldx, ldy, ldz)
                     occ = jnp.maximum(occ, jnp.where(t < t_lim, 1, 0))
 
-                d_nl = nx_ * ldx + ny_ * ldy + nz_ * ldz
                 hvx = (nx_ + ldx) * 2.0
                 hvy = (ny_ + ldy) * 2.0
                 hvz = (nz_ + ldz) * 2.0
@@ -488,10 +631,11 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
 
 @partial(jax.jit, static_argnames=("S", "L", "F", "seed", "eps",
                                    "shadow_eps", "depth", "interpret"))
-def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
+def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, cab, counts, n_tris,
                 S: int, L: int, F: int, seed: int, eps: float,
                 shadow_eps: float, depth: int = 1, interpret: bool = False):
     r = o.shape[0]
+    G = cab.shape[1] // 6
     pad = (-r) % RAYS_PER_STEP
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
@@ -507,7 +651,7 @@ def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
     rays = rays.reshape(steps, 48, 128)
     ids = ray_ids.astype(jnp.int32).reshape(steps, 8, 128)
 
-    kernel = _make_kernel(S, L, F, seed, eps, shadow_eps, depth)
+    kernel = _make_kernel(S, L, F, seed, eps, shadow_eps, depth, G)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -522,6 +666,8 @@ def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(lc.shape, lambda i, *_: (0, 0),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec(cab.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 48, 128), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
@@ -529,10 +675,11 @@ def _fused_call(o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
             ],
             out_specs=pl.BlockSpec((1, 24, 128), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.SMEM((1, G), jnp.int32)],
         ),
         out_shape=jax.ShapeDtypeStruct((steps, 24, 128), jnp.float32),
         interpret=interpret,
-    )(n_tris, counts, tcs, shad, sph, lc, rays, ids)
+    )(n_tris, counts, tcs, shad, sph, lc, cab, rays, ids)
     color = out.reshape(steps, 3, 8, 128).transpose(1, 0, 2, 3)
     return color.reshape(3, rp).T[:r]
 
@@ -544,10 +691,10 @@ def fused_trace(o: jax.Array, d: jax.Array, scene: Scene,
     Caller must check `fused_supported` first (static gate). Matches
     trace_rays(depth=1, light_mode="area") draw-for-draw.
     """
-    tcs, shad, sph, lc, counts, n_tris = fused_tables(scene)
+    tcs, shad, sph, lc, cab, counts, n_tris = fused_tables(scene)
     interpret = jax.default_backend() not in ("tpu", "axon")
     return _fused_call(
-        o, d, ray_ids, tcs, shad, sph, lc, counts, n_tris,
+        o, d, ray_ids, tcs, shad, sph, lc, cab, counts, n_tris,
         S=scene.spheres.capacity, L=scene.lights.num_lights,
         F=scene.lights.max_faces, seed=cfg.seed, eps=float(cfg.eps),
         shadow_eps=float(cfg.shadow_eps), depth=cfg.depth,

@@ -92,4 +92,9 @@ for backend in ("auto", best_kernel):
         return jnp.sum(color * color)
 
     g = jax.jit(jax.grad(loss_fn))
-    timed(f"mixed 1080p d4 fwd+bwd {backend}", g, params)
+    try:
+        timed(f"mixed 1080p d4 fwd+bwd {backend}", g, params)
+    except Exception as e:  # noqa: BLE001 — mxtile bwd at 2M rays OOMs HBM
+        msg = str(e).splitlines()[0][:120]
+        print(f"mixed 1080p d4 fwd+bwd {backend:28s} FAILED: {msg}",
+              flush=True)
