@@ -13,6 +13,7 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import argparse
+import dataclasses
 import os
 import sys
 import time
@@ -88,17 +89,34 @@ def main() -> int:
         cfg = RenderConfig(backend=backend, ray_chunk=chunk,
                            depth=args.depth)
 
-        def go():
+        def go(k=0):
+            # k > 0 nudges the camera origin by k * 1e-6 scene units:
+            # DISTINCT executable arguments (same shapes, no recompile),
+            # so no dispatch-level result reuse can satisfy the call.
+            c = cam if not k else dataclasses.replace(
+                cam, origin=cam.origin + np.float32(k * 1e-6))
             if sharded:
-                return render_sharded(scene, cam, width, height, cfg, mesh)
-            return render(scene, cam, width, height, cfg)
+                return render_sharded(scene, c, width, height, cfg, mesh)
+            return render(scene, c, width, height, cfg)
+
+        def finish(im):
+            # On the axon platform block_until_ready returns ~immediately
+            # for eager-op chains (measured 0.4 ms for a frame whose
+            # compute then surfaced as 1.5 s inside np.asarray); a
+            # 1-pixel readback is a true completion barrier that costs
+            # one tunnel round-trip, not the 3 MB frame transfer.
+            # probe_device_loop.py holds the pure device-side numbers.
+            np.asarray(im[0, 0])
+            return im
 
         t0 = time.perf_counter()
-        img = jax.block_until_ready(go())
+        img = finish(go())
         first = (time.perf_counter() - t0) * 1e3
-        t0 = time.perf_counter()
-        img = jax.block_until_ready(go())
-        steady = (time.perf_counter() - t0) * 1e3
+        steady = float("inf")
+        for k in (1, 2, 3):
+            t0 = time.perf_counter()
+            finish(go(k))
+            steady = min(steady, (time.perf_counter() - t0) * 1e3)
         mrays = width * height / (steady / 1e3) / 1e6
         print(f"{suffix:<12} {backend:<8} {first:>10.1f} {steady:>11.1f} {mrays:>9.2f}")
         table_rows.append((suffix, backend, first, steady, mrays))
