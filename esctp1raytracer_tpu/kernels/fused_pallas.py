@@ -210,6 +210,12 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
     def kernel(n_ref, cnt_ref, tcs_ref, shad_ref, sph_ref, lc_ref,
                cab_ref, rays_ref, ids_ref, out_ref, list_ref):
         fbig = np.float32(3.4e38)
+        # Valid triangles form a prefix of the cluster-sorted table
+        # (invalid padding sorts last), so every chunk sweep clamps to
+        # n_tris — a 36-triangle Cornell in a 128-padded chunk sweeps 36
+        # iterations, not 128 (the unclamped version cost the Cornell
+        # frame 2.5x).
+        n_tris = n_ref[0]
 
         def chunk_cull(mask, cox, coy, coz, cdx, cdy, cdz, tmax=None):
             """Compacted chunk list for one sweep -> count (int32 scalar).
@@ -223,6 +229,19 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
             list is ascending). All-invalid chunks (inverted sentinel
             boxes, which an interval test keeps) are dropped explicitly.
             """
+            live = jnp.max(jnp.where(mask, 1, 0)) > 0
+            if G == 1:
+                # One chunk: the hull test can cull nothing — keep the
+                # chunk iff it is non-empty and any lane is live (the
+                # dead-tile bounce skip still applies).
+                keep = (cab_ref[0, 0] <= cab_ref[0, 3]) & live
+
+                @pl.when(keep)
+                def _():
+                    list_ref[0, 0] = np.int32(0)
+
+                return keep.astype(jnp.int32)
+
             def mn(v):
                 return jnp.min(jnp.where(mask, v, fbig))
 
@@ -233,7 +252,6 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
             o_hi = (mx(cox), mx(coy), mx(coz))
             d_lo = (mn(cdx), mn(cdy), mn(cdz))
             d_hi = (mx(cdx), mx(cdy), mx(cdz))
-            live = jnp.max(jnp.where(mask, 1, 0)) > 0
             # Per-axis interval reciprocals (chunk-independent).
             il, ih, unb = [], [], []
             for a in range(3):
@@ -340,8 +358,8 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
 
             def search_chunk(k, carry):
                 c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
-                return jax.lax.fori_loop(
-                    c0, c0 + np.int32(FUSED_CHUNK), search, carry)
+                hi = jnp.minimum(c0 + np.int32(FUSED_CHUNK), n_tris)
+                return jax.lax.fori_loop(c0, hi, search, carry)
 
             bt, bi = jax.lax.fori_loop(
                 0, cnt_c, search_chunk,
@@ -572,8 +590,8 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
 
                 def shadow_chunk(k, occ):
                     c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
-                    return jax.lax.fori_loop(
-                        c0, c0 + np.int32(FUSED_CHUNK), shadow, occ)
+                    hi = jnp.minimum(c0 + np.int32(FUSED_CHUNK), n_tris)
+                    return jax.lax.fori_loop(c0, hi, shadow, occ)
 
                 occ = jax.lax.fori_loop(0, cnt_s, shadow_chunk,
                                         jnp.zeros((8, 128), jnp.int32))
