@@ -233,13 +233,9 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
             if G == 1:
                 # One chunk: the hull test can cull nothing — keep the
                 # chunk iff it is non-empty and any lane is live (the
-                # dead-tile bounce skip still applies).
+                # dead-tile bounce skip still applies). No list write:
+                # the G == 1 sweeps below run flat with bound cnt*n_tris.
                 keep = (cab_ref[0, 0] <= cab_ref[0, 3]) & live
-
-                @pl.when(keep)
-                def _():
-                    list_ref[0, 0] = np.int32(0)
-
                 return keep.astype(jnp.int32)
 
             def mn(v):
@@ -356,16 +352,19 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
                 return (jnp.where(better, t, bt),
                         jnp.where(better, jnp.full((8, 128), i, jnp.int32), bi))
 
-            def search_chunk(k, carry):
-                c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
-                hi = jnp.minimum(c0 + np.int32(FUSED_CHUNK), n_tris)
-                return jax.lax.fori_loop(c0, hi, search, carry)
+            init_c = (jnp.full((8, 128), big, jnp.float32),
+                      jnp.full((8, 128), NO_HIT, jnp.int32))
+            if G == 1:
+                # Flat sweep, no chunk indirection: bound is 0 (tile
+                # dead / empty table) or n_tris.
+                bt, bi = jax.lax.fori_loop(0, cnt_c * n_tris, search, init_c)
+            else:
+                def search_chunk(k, carry):
+                    c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
+                    hi = jnp.minimum(c0 + np.int32(FUSED_CHUNK), n_tris)
+                    return jax.lax.fori_loop(c0, hi, search, carry)
 
-            bt, bi = jax.lax.fori_loop(
-                0, cnt_c, search_chunk,
-                (jnp.full((8, 128), big, jnp.float32),
-                 jnp.full((8, 128), NO_HIT, jnp.int32)),
-            )
+                bt, bi = jax.lax.fori_loop(0, cnt_c, search_chunk, init_c)
 
             # ---- primary closest hit: spheres (analytic) --------------------
             def sphere_t(j, sox, soy, soz, sdx, sdy, sdz):
@@ -588,13 +587,16 @@ def _make_kernel(S: int, L: int, F: int, seed: int, eps: float,
                     # a bool (i1) vector — same pattern as rt_tile._occl_tile_kernel.
                     return jnp.maximum(occ, jnp.where(ok, 1, 0))
 
-                def shadow_chunk(k, occ):
-                    c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
-                    hi = jnp.minimum(c0 + np.int32(FUSED_CHUNK), n_tris)
-                    return jax.lax.fori_loop(c0, hi, shadow, occ)
+                occ0 = jnp.zeros((8, 128), jnp.int32)
+                if G == 1:
+                    occ = jax.lax.fori_loop(0, cnt_s * n_tris, shadow, occ0)
+                else:
+                    def shadow_chunk(k, occ):
+                        c0 = list_ref[0, k] * np.int32(FUSED_CHUNK)
+                        hi = jnp.minimum(c0 + np.int32(FUSED_CHUNK), n_tris)
+                        return jax.lax.fori_loop(c0, hi, shadow, occ)
 
-                occ = jax.lax.fori_loop(0, cnt_s, shadow_chunk,
-                                        jnp.zeros((8, 128), jnp.int32))
+                    occ = jax.lax.fori_loop(0, cnt_s, shadow_chunk, occ0)
                 for j in range(S):
                     t = sphere_t(j, hpx, hpy, hpz, ldx, ldy, ldz)
                     occ = jnp.maximum(occ, jnp.where(t < t_lim, 1, 0))
