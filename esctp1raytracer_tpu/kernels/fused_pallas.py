@@ -729,6 +729,21 @@ def _fallback_cfg(scene: Scene, cfg):
     )
 
 
+def _bwd_cfg(scene: Scene, cfg, num_rays: int):
+    """Backend for the VJP's backward re-derivation.
+
+    Large deep wavefronts re-derive through chunked mxtile: measured
+    on-chip for the mixed 1080p depth-4 config (round 5), fwd+bwd is
+    650 ms vs the lane path's 984 (and unchunked mxtile OOMs HBM — the
+    XLA backward's per-ray [R,1,3] temps pad 42x under T(8,128); a
+    262k-ray chunk bounds them). Small or shallow wavefronts keep the
+    lane/tile rule — chunking only adds rematerialization there.
+    """
+    if num_rays >= 1_000_000 and cfg.depth >= 2:
+        return cfg.replace(backend="mxtile", ray_chunk=262_144)
+    return _fallback_cfg(scene, cfg)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def fused_trace_diff(o, d, scene, ray_ids, cfg):
     """`fused_trace` with gradients: the forward primal is the fused
@@ -748,7 +763,7 @@ def _fused_diff_bwd(cfg, res, ct):
     from esctp1raytracer_tpu.core.render import trace_rays
 
     o, d, scene, ray_ids = res
-    fb = _fallback_cfg(scene, cfg)
+    fb = _bwd_cfg(scene, cfg, o.shape[0])
     _, vjp = jax.vjp(
         lambda oo, dd, sc: trace_rays(oo, dd, sc, ray_ids, fb), o, d, scene
     )
