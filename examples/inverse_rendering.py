@@ -8,6 +8,9 @@ the reference C++ tracer cannot express at all.
 
 import dataclasses
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax.numpy as jnp
 import numpy as np

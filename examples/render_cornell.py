@@ -5,7 +5,10 @@
     python examples/render_cornell.py [out.ppm]
 """
 
+import os as _os
 import sys
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import numpy as np
 

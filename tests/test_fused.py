@@ -192,6 +192,21 @@ class TestFusedGate:
         assert not fused_supported(scene, 1, "reference_cpp")
         assert scene.triangles.capacity <= FUSED_TRI_LIMIT
 
+    def test_bwd_cfg_routing(self):
+        """The VJP backward re-derivation routes large deep wavefronts
+        to chunked mxtile (measured 650 vs 984 ms on config 4, round 5;
+        unchunked mxtile OOMs HBM there) and keeps the lane/tile rule
+        everywhere else."""
+        from esctp1raytracer_tpu.kernels.fused_pallas import _bwd_cfg
+
+        scene = cornell_box()
+        big_deep = _bwd_cfg(scene, RenderConfig(depth=4), 2_073_600)
+        assert big_deep.backend == "mxtile" and big_deep.ray_chunk == 262_144
+        small = _bwd_cfg(scene, RenderConfig(depth=4), 262_144)
+        assert small.backend == "lane" and small.ray_chunk == 0
+        shallow = _bwd_cfg(scene, RenderConfig(depth=1), 2_073_600)
+        assert shallow.backend == "lane"
+
     def test_fallback_on_unsupported(self):
         """depth=5 (beyond the kernel unroll limit) with backend='fused'
         must fall back to the lane path and equal it exactly (same XLA
