@@ -90,21 +90,48 @@ def main():
         d_s = d.reshape(slices, -1, 3)
         base_ids = jnp.arange(rays // slices, dtype=jnp.uint32)
 
+        grad_mode = "--grad" in _sys.argv
+
         def make_loss(k, s=slices, o_s=o_s, d_s=d_s, scene=scene, cfg=cfg,
                       rays=rays):
-            def loss(ps):
+            def frame_loss(ps, i):
                 sc = merge_params(scene, ps)
+                tot = jnp.float32(0.0)
+                for sl in range(s):
+                    ids = base_ids + i * jnp.uint32(rays) \
+                        + jnp.uint32(sl * (rays // s))
+                    c = trace_rays(o_s[sl], d_s[sl], sc, ids, cfg)
+                    tot = tot + jnp.sum(c * c)
+                return tot
 
-                def frame(i, acc):
-                    tot = acc
-                    for sl in range(s):
-                        ids = base_ids + i * jnp.uint32(rays) \
-                            + jnp.uint32(sl * (rays // s))
-                        c = trace_rays(o_s[sl], d_s[sl], sc, ids, cfg)
-                        tot = tot + jnp.sum(c * c)
-                    return tot
+            if grad_mode:
+                # Device-side fwd+bwd: each frame computes the full
+                # scene-parameter gradient; the scalar carry folds a
+                # gradient norm so nothing is dead code. Gradients run
+                # PER SLICE (like bench_configs' bwd) so only one
+                # slice's residuals are ever live.
+                def slice_loss(ps, i, sl):
+                    sc = merge_params(scene, ps)
+                    ids = base_ids + i * jnp.uint32(rays) \
+                        + jnp.uint32(sl * (rays // s))
+                    c = trace_rays(o_s[sl], d_s[sl], sc, ids, cfg)
+                    return jnp.sum(c * c)
 
-                return jax.lax.fori_loop(0, k, frame, jnp.float32(0.0))
+                def loss(ps):
+                    def frame(i, acc):
+                        for sl in range(s):
+                            g = jax.grad(slice_loss)(ps, i, sl)
+                            acc = acc + sum(jnp.sum(l * l)
+                                            for l in jax.tree.leaves(g))
+                        return acc
+
+                    return jax.lax.fori_loop(0, k, frame, jnp.float32(0.0))
+            else:
+                def loss(ps):
+                    def frame(i, acc):
+                        return acc + frame_loss(ps, i)
+
+                    return jax.lax.fori_loop(0, k, frame, jnp.float32(0.0))
             return loss
 
         # Small frames need a wide K spread: at ~4 ms/frame the +-20 ms
@@ -115,6 +142,7 @@ def main():
         ms, raw = loop_ms(make_loss, params, k1, k2)
         rec = {"config": name, "rays": rays,
                "backend": resolve_backend(cfg, scene),
+               "leg": "fwd+bwd" if grad_mode else "fwd",
                "device_frame_ms": round(ms, 2),
                "device_rays_per_s": round(rays / (ms / 1e3), 1),
                "loop_k": [k1, k2],
