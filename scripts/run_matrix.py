@@ -79,10 +79,18 @@ def main() -> int:
     cam = Camera.look_at(eye, look, vfov=60.0, aspect=width / height)
     mesh = make_mesh()
 
+    # RUN_MATRIX_STRATEGIES=sequential,ispc limits the legs (smoke tests,
+    # quick iterations); default = all five reference strategies.
+    strategies = STRATEGIES
+    env_filter = os.environ.get("RUN_MATRIX_STRATEGIES")
+    if env_filter:
+        keep = {s.strip() for s in env_filter.split(",")}
+        strategies = [s for s in STRATEGIES if s[0] in keep]
+
     images = {}
     table_rows = []
     print(f"{'strategy':<12} {'backend':<8} {'first(ms)':>10} {'steady(ms)':>11} {'Mrays/s':>9}")
-    for suffix, backend, sharded in STRATEGIES:
+    for suffix, backend, sharded in strategies:
         # jnp's broadcast search needs chunking to bound its [chunk, N, 3]
         # intermediates; the kernel backends are fastest unchunked.
         chunk = 262144 if backend == "jnp" else 0
@@ -126,18 +134,19 @@ def main() -> int:
 
     # Cross-strategy golden comparison (same seed -> near-identical images;
     # borderline eps-window pixels may flip between backends).
-    base = images["sequential"]
+    base_name = strategies[0][0]
+    base = images[base_name]
     ok = True
     flips_by = {}
     for suffix, arr in images.items():
-        if suffix == "sequential":
+        if suffix == base_name:
             continue
         diff = np.abs(arr - base).max(-1)
         flips = float((diff > 1e-3).mean())
         flips_by[suffix] = flips
         status = "OK" if flips < 0.005 else "MISMATCH"
         ok &= flips < 0.005
-        print(f"  {suffix:<10} vs sequential: {flips*100:.3f}% pixels differ -> {status}")
+        print(f"  {suffix:<10} vs {base_name}: {flips*100:.3f}% pixels differ -> {status}")
     golden_stats = None
     if args.golden:
         # Full-resolution golden comparison against the reference C++
