@@ -92,8 +92,12 @@ def main() -> int:
     print(f"{'strategy':<12} {'backend':<8} {'first(ms)':>10} {'steady(ms)':>11} {'Mrays/s':>9}")
     for suffix, backend, sharded in strategies:
         # jnp's broadcast search needs chunking to bound its [chunk, N, 3]
-        # intermediates; the kernel backends are fastest unchunked.
-        chunk = 262144 if backend == "jnp" else 0
+        # intermediates; mxu additionally needs it for depth > 1 (the
+        # per-bounce [R, N] feature matmuls at full-frame R failed to
+        # compile on the 16 GB chip at depth 4). Kernel backends are
+        # fastest unchunked.
+        chunk = 262144 if (backend == "jnp"
+                           or (backend == "mxu" and args.depth > 1)) else 0
         cfg = RenderConfig(backend=backend, ray_chunk=chunk,
                            depth=args.depth)
 
