@@ -42,8 +42,23 @@ from esctp1raytracer_tpu.core.render import resolve_backend, trace_rays  # noqa:
 from esctp1raytracer_tpu.parallel.sharding import float_params, merge_params  # noqa: E402
 from esctp1raytracer_tpu.scene import builders  # noqa: E402
 
+def _flagship_scene():
+    """The driver benchmark's scene (bench.py:build_scene): two 5120-tri
+    icospheres (one smooth, one flat) + ground + area light, 1080p."""
+    meshes = [
+        builders.icosphere_mesh(subdivisions=4, radius=1.0,
+                                center=(-1.3, 1.0, 0.0)),
+        builders.icosphere_mesh(subdivisions=4, radius=1.0,
+                                center=(1.3, 1.0, 0.0), smooth=False),
+        builders._ground_plane(),
+        builders._area_light(center=(0.0, 6.0, 2.0), half=1.5),
+    ]
+    return builders.scene_from_mesh(meshes)
+
+
 CONFIGS = [
     ("sphere_plane_256", builders.sphere_plane_scene, (0, 2, 6), 256, 256, 1),
+    ("flagship_10k_1080p", _flagship_scene, (0, 2, 6), 1920, 1080, 1),
     ("ten_sphere_512", builders.ten_sphere_scene, (0, 4, 8), 512, 512, 2),
     ("mesh10k_1080p", lambda: builders.mesh_scene(4), (0, 2, 6), 1920, 1080, 1),
     ("mixed_1080p_d4", builders.mixed_scene, (0, 2.5, 7), 1920, 1080, 4),
